@@ -1,0 +1,85 @@
+"""Frozen configuration object for the whole framework.
+
+Replaces the reference's global argparse singleton (option.py:36-47,
+imported at module load by utils/utils.py:8). Here configuration is an
+explicit, immutable value passed to every constructor, which keeps model
+construction pure and jit-friendly.
+
+Derived fields mirror option.py:40-46: for the SR task ``angRes_in ==
+angRes_out == angRes`` and tiled evaluation uses 32-pixel patches with
+stride 16.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Mapping, Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # Task ------------------------------------------------------------------
+    task: str = "SR"
+    angRes: int = 5
+    scale_factor: int = 4
+
+    # Model -----------------------------------------------------------------
+    model_name: str = "LFMambaX"
+    # Per-model keyword overrides (channels, depth, ...). Models read these
+    # with ``cfg.model_kwargs.get(...)`` defaults, like the reference's
+    # getattr(args, ..., default) pattern (MyEfficientLFNetV8.py:875-881).
+    model_kwargs: Mapping[str, Any] = dataclasses.field(default_factory=dict)
+
+    # Data ------------------------------------------------------------------
+    data_name: str = "ALL"
+    path_for_train: str = "./data_for_train/"
+    path_for_test: str = "./data_for_test/"
+    path_log: str = "./log/"
+    patch_size_for_train: int = 32  # LR patch edge per view during training
+
+    # Optimization (train.py:98-127) -----------------------------------------
+    batch_size: int = 4
+    lr: float = 2e-4
+    weight_decay: float = 1e-4
+    epochs: int = 51
+    warmup_epochs: int = 5
+    min_lr: float = 1e-6
+    grad_clip_norm: float = 1.0
+    compute_dtype: str = "bfloat16"  # activations; params stay float32
+    seed: int = 0
+
+    # Masked angular pre-training (utils/masked_pretraining.py:174-218) ------
+    use_masked_pretrain: bool = True
+    mask_start_ratio: float = 0.1
+    mask_end_ratio: float = 0.3
+    mask_warmup_epochs: int = 20
+    mask_strategy: str = "random"
+
+    # Tiled evaluation (option.py:40-46) --------------------------------------
+    patch_size_for_test: int = 32
+    stride_for_test: int = 16
+    minibatch_for_test: int = 32  # patches per device step (reference used 1)
+
+    # Parallelism -------------------------------------------------------------
+    mesh_shape: Optional[Tuple[int, ...]] = None  # None => all local devices
+    mesh_axis_names: Tuple[str, ...] = ("data",)
+
+    # Derived ----------------------------------------------------------------
+    @property
+    def angRes_in(self) -> int:
+        return self.angRes
+
+    @property
+    def angRes_out(self) -> int:
+        return self.angRes
+
+    def mk(self, key: str, default: Any) -> Any:
+        """Look up a per-model hyperparameter override."""
+        return self.model_kwargs.get(key, default)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def task_tag(self) -> str:
+        """Directory tag, e.g. 'SR_5x5_4x' (utils/utils.py:59-78 schema)."""
+        return f"{self.task}_{self.angRes}x{self.angRes}_{self.scale_factor}x"

@@ -1,0 +1,229 @@
+"""Separable image resampling with exact MATLAB and PyTorch semantics.
+
+Two families, both expressed as precomputed (weights, indices) plans applied
+as gather + weighted-sum along each axis — static shapes, MXU/VPU friendly,
+and bit-reproducible because the plans are built in float64 on the host:
+
+1. ``imresize`` / ``imresize_jax`` — MATLAB ``imresize`` semantics
+   (utils/imresize.py in the reference, itself a port of MATLAB): Keys
+   cubic kernel a=-0.5, **antialiasing** (kernel widened by 1/scale when
+   downscaling), mirror boundary via the reflected index table, and weight
+   rows normalized to sum to 1. This is the numerics anchor for PSNR parity
+   — the reference's data generation uses it for every LR view
+   (Generate_Data_for_Training.py:77).
+
+2. ``interpolate`` — ``torch.nn.functional.interpolate`` semantics with
+   ``align_corners=False``: bicubic (a=-0.75, unclamped source coordinate,
+   edge-clamped indices, no antialias) and bilinear (source coordinate
+   clamped at 0). Used on-device for the models' global bicubic/bilinear
+   residual paths (e.g. MyEfficientLFNetV8.py forward: F.interpolate
+   mode='bicubic'; DistgSSR.py:31 mode='bilinear').
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# --------------------------------------------------------------------------
+# Kernels (host-side, float64)
+# --------------------------------------------------------------------------
+
+
+def _cubic_keys(x: np.ndarray, a: float) -> np.ndarray:
+    """Keys cubic convolution kernel with parameter ``a``.
+
+    a=-0.5 reproduces MATLAB's 'bicubic'; a=-0.75 reproduces PyTorch's.
+    """
+    ax = np.abs(x.astype(np.float64))
+    ax2, ax3 = ax * ax, ax * ax * ax
+    inner = (a + 2.0) * ax3 - (a + 3.0) * ax2 + 1.0
+    outer = a * ax3 - 5.0 * a * ax2 + 8.0 * a * ax - 4.0 * a
+    return np.where(ax <= 1.0, inner, np.where(ax <= 2.0, outer, 0.0))
+
+
+def _linear(x: np.ndarray) -> np.ndarray:
+    ax = np.abs(x.astype(np.float64))
+    return np.where(ax <= 1.0, 1.0 - ax, 0.0)
+
+
+_KERNELS = {
+    "bicubic": (functools.partial(_cubic_keys, a=-0.5), 4.0),
+    "bilinear": (_linear, 2.0),
+}
+
+# --------------------------------------------------------------------------
+# MATLAB-style plan
+# --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=256)
+def _matlab_plan(in_len: int, out_len: int, scale: float, method: str):
+    """Per-axis resampling plan with MATLAB imresize semantics.
+
+    Returns (weights [out, P] float64, indices [out, P] int32). Indices are
+    already mirror-mapped into [0, in_len), so zero-weight taps gather valid
+    memory and contribute nothing.
+    """
+    kernel, width = _KERNELS[method]
+    if scale < 1.0:  # antialiasing: widen kernel, scale response
+        def h(x):
+            return scale * kernel(scale * x)
+        kwidth = width / scale
+    else:
+        h = kernel
+        kwidth = width
+
+    out_coord = np.arange(1, out_len + 1, dtype=np.float64)
+    # Input-space center of each output sample (1-based, MATLAB convention).
+    u = out_coord / scale + 0.5 * (1.0 - 1.0 / scale)
+    left = np.floor(u - kwidth / 2.0)
+    p = int(math.ceil(kwidth)) + 2
+    # 0-based candidate source indices for each output sample.
+    idx = left[:, None] + np.arange(p, dtype=np.float64)[None, :] - 1.0
+    idx = idx.astype(np.int64)
+    w = h(u[:, None] - idx.astype(np.float64) - 1.0)
+    w = w / np.sum(w, axis=1, keepdims=True)
+    # Mirror (whole-sample symmetric) boundary handling via reflected table.
+    mirror = np.concatenate(
+        [np.arange(in_len), np.arange(in_len - 1, -1, -1)]
+    ).astype(np.int64)
+    idx = mirror[np.mod(idx, mirror.size)]
+    return w, idx.astype(np.int32)
+
+
+# --------------------------------------------------------------------------
+# Torch-style plan
+# --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=256)
+def _torch_plan(in_len: int, out_len: int, method: str):
+    """Per-axis plan matching torch.nn.functional.interpolate.
+
+    align_corners=False; bicubic a=-0.75 with unclamped source coordinate
+    and index clamping at the edges; bilinear with the source coordinate
+    clamped at 0 (ATen area_pixel_compute_source_index semantics).
+    """
+    scale = out_len / in_len
+    dst = np.arange(out_len, dtype=np.float64)
+    src = (dst + 0.5) / scale - 0.5
+    if method == "bilinear":
+        src = np.maximum(src, 0.0)
+        base = np.floor(src)
+        frac = src - base
+        idx = base[:, None].astype(np.int64) + np.array([0, 1])[None, :]
+        w = np.stack([1.0 - frac, frac], axis=1)
+    elif method == "bicubic":
+        base = np.floor(src)
+        frac = src - base
+        offs = np.array([-1, 0, 1, 2], dtype=np.float64)
+        dist = frac[:, None] - offs[None, :]
+        w = _cubic_keys(dist, a=-0.75)
+        idx = base[:, None].astype(np.int64) + offs[None, :].astype(np.int64)
+    else:
+        raise ValueError(f"unsupported method: {method}")
+    idx = np.clip(idx, 0, in_len - 1)
+    return w, idx.astype(np.int32)
+
+
+# --------------------------------------------------------------------------
+# Plan application
+# --------------------------------------------------------------------------
+
+
+def _apply_plan_np(x: np.ndarray, w: np.ndarray, idx: np.ndarray, axis: int) -> np.ndarray:
+    xt = np.moveaxis(x, axis, -1).astype(np.float64)
+    gathered = xt[..., idx]  # [..., out, P]
+    out = np.einsum("...op,op->...o", gathered, w)
+    return np.moveaxis(out, -1, axis)
+
+
+def _apply_plan_jnp(x: jnp.ndarray, w, idx, axis: int, dtype=None) -> jnp.ndarray:
+    dtype = dtype or x.dtype
+    xt = jnp.moveaxis(x, axis, -1)
+    gathered = jnp.take(xt, jnp.asarray(idx), axis=-1)  # [..., out, P]
+    # HIGHEST precision: on TPU the default einsum feeds the MXU in bf16,
+    # which would break bit parity with the reference resampler.
+    out = jnp.einsum(
+        "...op,op->...o",
+        gathered.astype(jnp.float32),
+        jnp.asarray(w, dtype=jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.moveaxis(out, -1, axis).astype(dtype)
+
+
+# --------------------------------------------------------------------------
+# Public API
+# --------------------------------------------------------------------------
+
+
+def _resolve_geometry(shape2, scale, out_shape):
+    if scale is not None:
+        s = float(scale)
+        scales = [s, s]
+        out = [int(math.ceil(s * shape2[k])) for k in range(2)]
+    elif out_shape is not None:
+        out = [int(out_shape[0]), int(out_shape[1])]
+        scales = [out[k] / shape2[k] for k in range(2)]
+    else:
+        raise ValueError("specify scale or out_shape")
+    return scales, out
+
+
+def imresize(img: np.ndarray, scale=None, out_shape=None, method: str = "bicubic") -> np.ndarray:
+    """MATLAB-exact imresize on the leading two axes (numpy float64 path).
+
+    Accepts HxW or HxWxC arrays. uint8 inputs are rounded and clipped back
+    to uint8 like MATLAB. Used by the offline data generators where bit
+    parity with the reference's utils/imresize.py matters.
+    """
+    scales, out = _resolve_geometry(img.shape[:2], scale, out_shape)
+    was_uint8 = img.dtype == np.uint8
+    x = img
+    # MATLAB resizes the most-downscaled axis first, and for uint8 inputs
+    # re-quantizes to uint8 after EACH axis pass (imresizevec semantics).
+    order = np.argsort(np.asarray(scales), kind="stable")
+    for k in order:
+        w, idx = _matlab_plan(img.shape[k], out[k], scales[k], method)
+        x = _apply_plan_np(x.astype(np.float64), w, idx, axis=int(k))
+        if was_uint8:
+            x = np.around(np.clip(x, 0, 255)).astype(np.uint8)
+    return x
+
+
+def imresize_jax(img: jnp.ndarray, scale=None, out_shape=None, method: str = "bicubic") -> jnp.ndarray:
+    """MATLAB-semantics resize on the trailing two axes, on device.
+
+    The plan is computed host-side in float64; the apply runs in float32 on
+    the TPU as two small dense contractions.
+    """
+    H, W = img.shape[-2], img.shape[-1]
+    scales, out = _resolve_geometry((H, W), scale, out_shape)
+    order = np.argsort(np.asarray(scales), kind="stable")
+    x = img
+    in_lens = [H, W]
+    for k in order:
+        w, idx = _matlab_plan(in_lens[k], out[k], scales[k], method)
+        x = _apply_plan_jnp(x, w, idx, axis=int(k) - 2)
+    return x
+
+
+def interpolate(x: jnp.ndarray, scale_factor: int, method: str = "bicubic") -> jnp.ndarray:
+    """torch.nn.functional.interpolate(align_corners=False) on NCHW arrays.
+
+    This is the on-device global-residual upsampler used inside model
+    forwards; it must match torch numerics for PSNR parity with reference
+    checkpoints trained around this exact residual.
+    """
+    H, W = x.shape[-2], x.shape[-1]
+    wh, ih = _torch_plan(H, int(H * scale_factor), method)
+    ww, iw = _torch_plan(W, int(W * scale_factor), method)
+    x = _apply_plan_jnp(x, wh, ih, axis=-2)
+    x = _apply_plan_jnp(x, ww, iw, axis=-1)
+    return x

@@ -1,0 +1,86 @@
+"""Batched overlap tiling for whole-scene evaluation.
+
+The reference splits a scene into overlapping per-view patches with
+``LFdivide`` (utils/utils.py:152-166: mirror-extend + F.unfold) and stitches
+super-resolved patches back with a center crop in ``LFintegrate``
+(utils/utils.py:169-178), then loops over patches one at a time on the GPU
+(train.py:307-313). Here both transforms are pure static-shape gathers that
+live inside jit, and the whole patch grid is processed as one batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from lfsr_tpu.ops.layout import sai_to_views, views_to_sai
+
+
+def tile_counts(h0: int, w0: int, patch: int, stride: int) -> tuple[int, int]:
+    """Patch-grid shape for an h0 x w0 per-view image (utils.py:157-159)."""
+    bdr = (patch - stride) // 2
+    n1 = (h0 + bdr * 2 - 1) // stride
+    n2 = (w0 + bdr * 2 - 1) // stride
+    return n1, n2
+
+
+def lf_divide(sai: jnp.ndarray, ang: int, patch: int, stride: int) -> jnp.ndarray:
+    """Split an SAI mosaic ``[U*h0, V*w0]`` into overlapping SAI patches.
+
+    Returns ``[n1*n2, ang*patch, ang*patch]``. Mirror extension uses
+    whole-sample symmetric padding, identical to the reference's
+    ImageExtend flip-and-concat construction (utils/utils.py:137-149).
+    """
+    views = sai_to_views(sai, ang)  # [U, V, h0, w0]
+    h0, w0 = views.shape[-2], views.shape[-1]
+    bdr = (patch - stride) // 2
+    n1, n2 = tile_counts(h0, w0, patch, stride)
+    pad = [(0, 0)] * (views.ndim - 2) + [
+        (bdr, bdr + stride - 1),
+        (bdr, bdr + stride - 1),
+    ]
+    padded = jnp.pad(views, pad, mode="symmetric")
+
+    hidx = (np.arange(n1) * stride)[:, None] + np.arange(patch)[None, :]
+    widx = (np.arange(n2) * stride)[:, None] + np.arange(patch)[None, :]
+    x = jnp.take(padded, jnp.asarray(hidx.reshape(-1)), axis=-2)
+    x = x.reshape(*views.shape[:-2], n1, patch, padded.shape[-1])
+    x = jnp.take(x, jnp.asarray(widx.reshape(-1)), axis=-1)
+    x = x.reshape(*views.shape[:-2], n1, patch, n2, patch)
+    # [U, V, n1, p, n2, p] -> [n1, n2, U, V, p, p]
+    x = jnp.moveaxis(jnp.moveaxis(x, -4, 0), -2, 1)
+    sai_patches = views_to_sai(x, ang)  # [n1, n2, U*p, V*p]
+    return sai_patches.reshape(n1 * n2, ang * patch, ang * patch)
+
+
+def lf_integrate(
+    patches: jnp.ndarray,
+    ang: int,
+    patch: int,
+    stride: int,
+    h: int,
+    w: int,
+) -> jnp.ndarray:
+    """Stitch SR patches ``[n1*n2, U*p, V*p]`` back into views ``[U,V,h,w]``.
+
+    Center-crop stitching, no blending — semantics of utils/utils.py:169-178.
+    ``patch``/``stride`` are in output (super-resolved) pixels.
+    """
+    n1, n2 = _grid_from_count(patches.shape[0], h, w, patch, stride)
+    bdr = (patch - stride) // 2
+    x = patches.reshape(n1, n2, ang, patch, ang, patch)
+    x = jnp.moveaxis(x, -2, 3)  # [n1, n2, U, V, p, p]
+    x = x[..., bdr : bdr + stride, bdr : bdr + stride]
+    # [n1, n2, U, V, s, s] -> [U, V, n1, s, n2, s]
+    x = jnp.transpose(x, (2, 3, 0, 4, 1, 5))
+    x = x.reshape(ang, ang, n1 * stride, n2 * stride)
+    return x[..., :h, :w]
+
+
+def _grid_from_count(n: int, h: int, w: int, patch: int, stride: int):
+    """Recover (n1, n2) from the output extent (all args static under jit)."""
+    bdr = (patch - stride) // 2
+    n1 = (h + bdr * 2 - 1) // stride
+    n2 = (w + bdr * 2 - 1) // stride
+    assert n1 * n2 == n, f"patch count {n} != grid {n1}x{n2}"
+    return n1, n2
