@@ -1,0 +1,16 @@
+"""Model zoo. Importing this package registers every model by name.
+
+Contract (mirrors the reference's model/SR plugin interface,
+train.py:48-50): ``registry.get_model(cfg)`` returns a flax module whose
+``__call__(x)`` maps an NHWC LR SAI mosaic ``[B, A*h, A*w, 1]`` to the SR
+mosaic ``[B, A*h*s, A*w*s, 1]``; ``registry.get_loss(cfg)`` returns the
+model's training loss ``(sr, hr) -> scalar``.
+"""
+
+from lfsr_tpu.models import registry  # noqa: F401
+from lfsr_tpu.models import cnn_baselines  # noqa: F401  (VDSR, EDSR, RCAN)
+from lfsr_tpu.models import lf_internet  # noqa: F401
+from lfsr_tpu.models import distg_ssr  # noqa: F401
+from lfsr_tpu.models import epit  # noqa: F401
+
+from lfsr_tpu.models.registry import get_model, get_loss, available  # noqa: F401

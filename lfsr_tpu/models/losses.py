@@ -1,0 +1,153 @@
+"""Loss functions. All pure ``(sr, hr) -> scalar`` on NHWC SAI mosaics.
+
+Covers every loss family in the reference zoo:
+- plain L1 (all benchmark models, e.g. DistgSSR.py get_loss),
+- L1 + FFT-magnitude (MyEfficientLFNet.py:585-609),
+- the V8 composite: Charbonnier + FFT + SSIM + Sobel gradient + angular
+  parallax consistency (MyEfficientLFNetV8.py:870-951).
+
+Losses always compute in float32 even when the model ran in bfloat16.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from lfsr_tpu.config import Config
+from lfsr_tpu.ops.layout import sai_to_views
+
+
+def _f32(x):
+    return x.astype(jnp.float32)
+
+
+def l1(sr, hr):
+    return jnp.mean(jnp.abs(_f32(sr) - _f32(hr)))
+
+
+def charbonnier(sr, hr, eps: float = 1e-9):
+    d = _f32(sr) - _f32(hr)
+    return jnp.mean(jnp.sqrt(d * d + eps * eps))
+
+
+def fft_magnitude_l1(sr, hr):
+    """L1 between rfft2 magnitudes over the spatial axes (V8:886-887)."""
+    fs = jnp.abs(jnp.fft.rfft2(_f32(sr), axes=(1, 2)))
+    fh = jnp.abs(jnp.fft.rfft2(_f32(hr), axes=(1, 2)))
+    return jnp.mean(jnp.abs(fs - fh))
+
+
+def ssim_loss(sr, hr, window: int = 7):
+    """1 - SSIM with a uniform window (avg-pool implementation mirroring
+    V8:889-909, including the variance clamp)."""
+    x, y = _f32(sr), _f32(hr)
+    c1, c2 = 0.01**2, 0.03**2
+    k = jnp.ones((window, window, 1, 1), jnp.float32) / (window * window)
+
+    def blur(a):
+        # NHWC depthwise mean filter with SAME (torch avg_pool2d w/ padding)
+        return jax.lax.conv_general_dilated(
+            a,
+            jnp.tile(k, (1, 1, 1, a.shape[-1])),
+            (1, 1),
+            "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=a.shape[-1],
+        )
+
+    mx, my = blur(x), blur(y)
+    vx = jnp.clip(blur(x * x) - mx * mx, 0)
+    vy = jnp.clip(blur(y * y) - my * my, 0)
+    vxy = blur(x * y) - mx * my
+    s = ((2 * mx * my + c1) * (2 * vxy + c2)) / (
+        (mx * mx + my * my + c1) * (vx + vy + c2)
+    )
+    return 1.0 - jnp.mean(s)
+
+
+_SOBEL_X = jnp.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32)
+
+
+def gradient_l1(sr, hr):
+    """L1 over Sobel-x and Sobel-y responses (V8:912-918)."""
+    kx = _SOBEL_X.reshape(3, 3, 1, 1)
+    ky = _SOBEL_X.T.reshape(3, 3, 1, 1)
+
+    def edge(a, k):
+        return jax.lax.conv_general_dilated(
+            _f32(a), k, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    return jnp.mean(jnp.abs(edge(sr, kx) - edge(hr, kx))) + jnp.mean(
+        jnp.abs(edge(sr, ky) - edge(hr, ky))
+    )
+
+
+def angular_consistency(sr, hr, ang: int):
+    """L1 on adjacent-view parallax differences in both angular axes
+    (V8:930-946)."""
+    sv = sai_to_views(_f32(sr[..., 0]), ang)  # [B, U, V, h, w]
+    hv = sai_to_views(_f32(hr[..., 0]), ang)
+    lu = jnp.mean(jnp.abs(jnp.diff(sv, axis=1) - jnp.diff(hv, axis=1)))
+    lv = jnp.mean(jnp.abs(jnp.diff(sv, axis=2) - jnp.diff(hv, axis=2)))
+    return lu + lv
+
+
+# ---------------------------------------------------------------------------
+# Builders (registered per model)
+# ---------------------------------------------------------------------------
+
+
+def l1_builder(cfg: Config):
+    return l1
+
+
+def l1_fft_builder(cfg: Config):
+    w = cfg.mk("fft_weight", 0.05)
+
+    def loss(sr, hr):
+        return l1(sr, hr) + w * fft_magnitude_l1(sr, hr)
+
+    return loss
+
+
+def composite_v8_builder(cfg: Config):
+    """Charbonnier + 0.1 FFT + 0.02 SSIM + 0.04 gradient + 0.06 angular
+    (V8.1 weights, MyEfficientLFNetV8.py:875-881)."""
+    eps = cfg.mk("charbonnier_eps", 1e-9)
+    wf = cfg.mk("fft_weight", 0.1)
+    ws = cfg.mk("ssim_weight", 0.02)
+    wg = cfg.mk("grad_weight", 0.04)
+    wa = cfg.mk("angular_weight", 0.06)
+    ang = cfg.angRes
+
+    def loss(sr, hr):
+        out = charbonnier(sr, hr, eps)
+        out += wf * fft_magnitude_l1(sr, hr)
+        out += ws * ssim_loss(sr, hr)
+        out += wg * gradient_l1(sr, hr)
+        if sr.shape[1] % ang == 0 and sr.shape[2] % ang == 0:
+            out += wa * angular_consistency(sr, hr, ang)
+        return out
+
+    return loss
+
+
+def composite_v64_builder(cfg: Config):
+    """Charbonnier(1e-6) + 0.1 FFT + 0.01 angular (V6_4.py:660-720 core
+    terms; the tiny gradient-variance term is folded into gradient_l1)."""
+    ang = cfg.angRes
+
+    def loss(sr, hr):
+        out = charbonnier(sr, hr, 1e-6)
+        out += 0.1 * fft_magnitude_l1(sr, hr)
+        out += 0.005 * gradient_l1(sr, hr)
+        if sr.shape[1] % ang == 0:
+            out += 0.01 * angular_consistency(sr, hr, ang)
+        return out
+
+    return loss
