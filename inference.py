@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Submission inference (reference: inference.py:93-221).
+
+Runs tiled SR over the NTIRE Real/Synth validation scenes (no ground
+truth), recomposes RGB from the stored upsampled chroma, writes CodaBench
+``View_i_j.bmp`` trees, and optionally packages + validates the zip. An
+efficiency gate runs before inference like the reference's fvcore check
+(inference.py:117-125).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import jax
+
+from lfsr_tpu.cli import build_parser, config_from_args
+from lfsr_tpu.data.datasets import load_test_scenes
+from lfsr_tpu.models import registry
+from lfsr_tpu.tools.efficiency import check_efficiency, format_report
+from lfsr_tpu.tools.submission import save_scene_views, pack_submission, validate_submission
+from lfsr_tpu.train.trainer import Trainer, latest_checkpoint, restore_checkpoint
+from lfsr_tpu.train.evaluate import evaluate_scene
+from lfsr_tpu.utils import Logger, create_dirs
+from test import views_to_rgb_uint8
+
+
+def main(cfg, ckpt_path=None, out_root="submission", make_zip=True, skip_gate=False):
+    log_dir, ckpt_dir, _ = create_dirs(cfg)
+    log = Logger(log_dir, cfg.model_name + "_infer")
+
+    if not skip_gate:
+        report = check_efficiency(cfg)
+        log(format_report(report))
+        if not report["verdict"]:
+            log("efficiency gate FAILED — aborting (use --skip_gate to override)")
+            return None
+
+    scenes = load_test_scenes(cfg.path_for_test, cfg.angRes, cfg.scale_factor, cfg.data_name)
+    model = registry.get_model(cfg)
+    tr = Trainer(cfg, steps_per_epoch=1)
+    state = tr.init_state(
+        jax.random.key(0), np.zeros((1, cfg.angRes * 32, cfg.angRes * 32, 1), np.float32)
+    )
+    path = ckpt_path or latest_checkpoint(ckpt_dir)
+    if path is not None:
+        state, _ = restore_checkpoint(path, state)
+        log(f"loaded checkpoint {path}")
+    else:
+        log("WARNING: no checkpoint — running random init")
+
+    out = Path(out_root)
+    for subset, items in scenes.items():
+        for sc in items:
+            _, _, sr_views = evaluate_scene(model.apply, state.params, sc, cfg)
+            rgb = views_to_rgb_uint8(np.asarray(sr_views), sc.sr_cbcr, cfg.angRes)
+            save_scene_views(out / subset / sc.name, rgb)
+            log(f"wrote {subset}/{sc.name} ({rgb.shape[3]}x{rgb.shape[2]})")
+
+    if make_zip:
+        zip_path = pack_submission(out, out.with_suffix(".zip"))
+        rep = validate_submission(zip_path)
+        log(f"submission {zip_path}: {'VALID' if rep.ok else 'INVALID'} "
+            f"({rep.checks} checks, {len(rep.errors)} errors, {len(rep.warnings)} warnings)")
+        for e in rep.errors[:10]:
+            log(f"  ERROR: {e}")
+        return zip_path
+    return out
+
+
+if __name__ == "__main__":
+    p = build_parser()
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--out", type=str, default="submission")
+    p.add_argument("--no_zip", action="store_true")
+    p.add_argument("--skip_gate", action="store_true")
+    args = p.parse_args()
+    main(config_from_args(args), args.ckpt, args.out, not args.no_zip, args.skip_gate)

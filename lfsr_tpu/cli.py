@@ -1,0 +1,61 @@
+"""Shared CLI argument parsing — flag-compatible with the reference
+option.py so existing shell wrappers keep working, but producing an
+immutable Config instead of a process-global namespace."""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from lfsr_tpu.config import Config
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--task", type=str, default="SR")
+    p.add_argument("--angRes", type=int, default=5)
+    p.add_argument("--scale_factor", type=int, default=4)
+    p.add_argument("--model_name", type=str, default="LFMambaX")
+    p.add_argument("--use_pre_ckpt", action="store_true")
+    p.add_argument("--path_pre_pth", type=str, default="")
+    p.add_argument("--data_name", type=str, default="ALL")
+    p.add_argument("--path_for_train", type=str, default="./data_for_train/")
+    p.add_argument("--path_for_test", type=str, default="./data_for_test/")
+    p.add_argument("--path_log", type=str, default="./log/")
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--decay_rate", type=float, default=1e-4)
+    p.add_argument("--epoch", type=int, default=51)
+    p.add_argument("--warmup_epochs", type=int, default=5)
+    p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--use_masked_pretrain", type=int, default=1)
+    p.add_argument("--mask_ratio", type=float, default=0.3)
+    p.add_argument("--minibatch_for_test", type=int, default=32)
+    p.add_argument("--model_kwargs", type=str, default="{}",
+                   help="JSON dict of per-model overrides")
+    return p
+
+
+def config_from_args(args) -> Config:
+    return Config(
+        task=args.task,
+        angRes=args.angRes,
+        scale_factor=args.scale_factor,
+        model_name=args.model_name,
+        model_kwargs=json.loads(args.model_kwargs),
+        data_name=args.data_name,
+        path_for_train=args.path_for_train,
+        path_for_test=args.path_for_test,
+        path_log=args.path_log,
+        batch_size=args.batch_size,
+        lr=args.lr,
+        weight_decay=args.decay_rate,
+        epochs=args.epoch,
+        warmup_epochs=args.warmup_epochs,
+        compute_dtype=args.compute_dtype,
+        seed=args.seed,
+        use_masked_pretrain=bool(args.use_masked_pretrain),
+        mask_end_ratio=args.mask_ratio,
+        minibatch_for_test=args.minibatch_for_test,
+    )

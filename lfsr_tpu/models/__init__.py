@@ -12,5 +12,9 @@ from lfsr_tpu.models import cnn_baselines  # noqa: F401  (VDSR, EDSR, RCAN)
 from lfsr_tpu.models import lf_internet  # noqa: F401
 from lfsr_tpu.models import distg_ssr  # noqa: F401
 from lfsr_tpu.models import epit  # noqa: F401
+from lfsr_tpu.models import lfmambax  # noqa: F401
+from lfsr_tpu.models import lft  # noqa: F401
+from lfsr_tpu.models import lfssr  # noqa: F401
+from lfsr_tpu.models import lf_ato  # noqa: F401
 
 from lfsr_tpu.models.registry import get_model, get_loss, available  # noqa: F401

@@ -44,9 +44,10 @@ class VDSR(nn.Module):
         dt = jnp.dtype(self.cfg.compute_dtype)
         up = bicubic_up(x, s)
         y = up.astype(dt)
-        y = nn.relu(conv(64, 3, padding=1, use_bias=False, dtype=dt)(y))
-        for _ in range(18):
-            y = nn.relu(conv(64, 3, padding=1, use_bias=False, dtype=dt)(y))
+        feats = self.cfg.mk("channels", 64)
+        y = nn.relu(conv(feats, 3, padding=1, use_bias=False, dtype=dt)(y))
+        for _ in range(self.cfg.mk("n_layers", 18)):
+            y = nn.relu(conv(feats, 3, padding=1, use_bias=False, dtype=dt)(y))
         y = conv(1, 3, padding=1, use_bias=False, dtype=dt)(y)
         return y.astype(jnp.float32) + up
 

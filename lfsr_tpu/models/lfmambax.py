@@ -1,0 +1,418 @@
+"""LFMambaX — the flagship efficiency-track model (V8-class, TPU-native).
+
+Functional re-design of the reference's MyEfficientLFNet v8.1
+(MyEfficientLFNetV8.py) under the NTIRE Track-2 budget (<1M params,
+<20 GFLOPs at SAI input 1x1x160x160). Four-module layout:
+
+  IFE   multi-scale (3/5/7) conv stem                     (V8:296-327)
+  SAFL  12 LF-VSSM blocks in 4/5/3 phases, window attention at 33%/75%
+        depth with relative-position bias                 (V8:100-116, 461-546)
+  LSFL  EPI h/v depthwise structure learning + disparity  (V8:552-608)
+        + 4-stage progressive fusion over block outputs   (V8:614-649)
+  HLFR  deep reconstruction head + pixel-shuffle x2x2     (V8:716-773)
+
+TPU-first substitutions:
+- the CUDA ``mamba_ssm`` selective scan becomes the associative-scan Mamba
+  (lfsr_tpu.models.ssm) — log-depth parallel over the raster sequence;
+- the 4-way cross-scan feeds one shared Mamba with channel groups reading
+  the raster in 4 orders, built from pure reshapes/flips (V8:375-455);
+- window attention is a reshape + batched dot_product_attention;
+- SRACM masking lives in the trainer (one implementation instead of the
+  reference's duplicated external+internal paths, SURVEY.md §2.4).
+
+Depth-aware residual scaling (0.15..0.425) follows V8:276-293.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from lfsr_tpu.config import Config
+from lfsr_tpu.models.common import conv, lrelu, pixel_shuffle
+from lfsr_tpu.models.registry import register_model
+from lfsr_tpu.models.cnn_baselines import bicubic_up
+from lfsr_tpu.models.ssm import Mamba
+from lfsr_tpu.models import losses
+from lfsr_tpu.ops.layout import sai_to_macpi, macpi_to_sai
+
+
+def _dw(feats, kernel=3, dilation=1, name=None, dtype=None):
+    pad = dilation * (kernel - 1) // 2
+    return conv(
+        feats, kernel, dilation=dilation, padding=pad, groups=feats,
+        use_bias=False, name=name, dtype=dtype,
+    )
+
+
+class ECA(nn.Module):
+    """Efficient channel attention (V8:816-830)."""
+
+    reduction: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        hidden = max(c // self.reduction, 16)
+        y = jnp.mean(x, axis=(1, 2), keepdims=True)
+        y = nn.relu(conv(hidden, 1, dtype=self.dtype)(y))
+        y = nn.sigmoid(conv(c, 1, dtype=self.dtype)(y))
+        return x * y
+
+
+class IFE(nn.Module):
+    """Multi-scale initial feature extraction (V8:296-327)."""
+
+    feats: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        c3 = self.feats // 3
+        dt = self.dtype
+        f3 = conv(c3, 3, padding=1, dtype=dt)(x)
+        f5 = conv(c3, 1, dtype=dt)(conv(1, 5, padding=2, use_bias=False, dtype=dt)(x))
+        f7 = conv(self.feats - 2 * c3, 1, dtype=dt)(
+            conv(1, 7, padding=3, use_bias=False, dtype=dt)(x)
+        )
+        fused = conv(self.feats, 1, use_bias=False, dtype=dt)(
+            jnp.concatenate([f3, f5, f7], -1)
+        )
+        enh = _dw(self.feats, dtype=dt)(fused)
+        enh = lrelu(conv(self.feats, 1, use_bias=False, dtype=dt)(enh))
+        scale = self.param("scale", nn.initializers.constant(0.2), (1,))
+        return fused + scale * enh
+
+
+class MultiScaleLocal(nn.Module):
+    """Channel-split local branch: 1x1 + three depthwise 3x3 (V8:779-800)."""
+
+    feats: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.feats // 4
+        parts = [
+            conv(c, 1, use_bias=False, dtype=self.dtype)(x[..., :c]),
+            _dw(c, dtype=self.dtype)(x[..., c : 2 * c]),
+            _dw(c, dtype=self.dtype)(x[..., 2 * c : 3 * c]),
+            _dw(self.feats - 3 * c, dtype=self.dtype)(x[..., 3 * c :]),
+        ]
+        y = jnp.concatenate(parts, -1)
+        y = lrelu(conv(self.feats, 1, use_bias=False, dtype=self.dtype)(y))
+        return y + x
+
+
+class CrossScanSSM(nn.Module):
+    """4-way cross-scan through one shared Mamba (V8:375-455).
+
+    Channel groups 0..3 read the raster: row-major, reversed row-major,
+    column-major, reversed column-major. One selective scan processes the
+    concatenated channels; outputs are un-permuted back.
+    """
+
+    feats: int
+    d_state: int
+    d_conv: int
+    expand: float
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        g = c // 4
+        gs = [x[..., :g], x[..., g : 2 * g], x[..., 2 * g : 3 * g], x[..., 3 * g :]]
+
+        s0 = gs[0].reshape(b, h * w, g)
+        s1 = gs[1].reshape(b, h * w, g)[:, ::-1]
+        s2 = gs[2].transpose(0, 2, 1, 3).reshape(b, h * w, g)
+        s3 = gs[3].transpose(0, 2, 1, 3).reshape(b, h * w, c - 3 * g)[:, ::-1]
+
+        seq = jnp.concatenate([s0, s1, s2, s3], axis=-1)
+        seq = nn.LayerNorm(dtype=self.dtype)(seq)
+        out = Mamba(
+            d_model=c,
+            d_state=self.d_state,
+            d_conv=self.d_conv,
+            expand=self.expand,
+            dtype=self.dtype,
+            name="mamba",
+        )(seq)
+
+        o0, o1, o2, o3 = (
+            out[..., :g],
+            out[..., g : 2 * g],
+            out[..., 2 * g : 3 * g],
+            out[..., 3 * g :],
+        )
+        r0 = o0.reshape(b, h, w, g)
+        r1 = o1[:, ::-1].reshape(b, h, w, g)
+        r2 = o2.reshape(b, w, h, g).transpose(0, 2, 1, 3)
+        r3 = o3[:, ::-1].reshape(b, w, h, c - 3 * g).transpose(0, 2, 1, 3)
+        y = jnp.concatenate([r0, r1, r2, r3], -1)
+
+        y = conv(c, 1, use_bias=False, dtype=self.dtype)(y)
+        scale = self.param("scale", nn.initializers.constant(0.15), (1,))
+        return x + scale * y
+
+
+class LFVSSMBlock(nn.Module):
+    """Pre-norm dual-branch block: local multi-scale conv || global
+    cross-scan SSM -> fuse -> channel attention (V8:333-369)."""
+
+    feats: int
+    d_state: int
+    d_conv: int
+    expand: float
+    res_scale_init: float
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.dtype
+        xn = nn.LayerNorm(dtype=dt)(x)
+        local = MultiScaleLocal(self.feats, dt)(xn)
+        glob = CrossScanSSM(self.feats, self.d_state, self.d_conv, self.expand, dt)(xn)
+        y = conv(self.feats, 1, use_bias=False, dtype=dt)(
+            jnp.concatenate([local, glob], -1)
+        )
+        y = ECA(dtype=dt)(y)
+        y = nn.Dropout(0.1, deterministic=not train)(y)
+        rs = self.param(
+            "res_scale", nn.initializers.constant(self.res_scale_init), (1,)
+        )
+        return x + rs * y
+
+
+class WindowAttention(nn.Module):
+    """Swin-style 8x8 window MHA with relative-position bias (V8:461-546)."""
+
+    feats: int
+    heads: int = 4
+    window: int = 8
+    attn_scale_init: float = 0.25
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        ws = self.window
+        dt = self.dtype
+        ph = (ws - h % ws) % ws
+        pw = (ws - w % ws) % ws
+        xp = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect") if ph or pw else x
+        hp, wp = xp.shape[1], xp.shape[2]
+
+        win = xp.reshape(b, hp // ws, ws, wp // ws, ws, c)
+        win = win.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
+
+        tn = nn.LayerNorm(dtype=dt)(win)
+        qkv = nn.Dense(3 * c, use_bias=False, dtype=dt)(tn)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        hd = c // self.heads
+        split = lambda a: a.reshape(-1, ws * ws, self.heads, hd)
+
+        # relative position bias table, indexed like Swin (V8:479-495)
+        table = self.param(
+            "rel_pos_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * ws - 1) ** 2, self.heads),
+        )
+        coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))
+        flat = coords.reshape(2, -1)
+        rel = flat[:, :, None] - flat[:, None, :]
+        rel = (rel + ws - 1).transpose(1, 2, 0)
+        idx = rel[..., 0] * (2 * ws - 1) + rel[..., 1]
+        bias = table[jnp.asarray(idx.reshape(-1))].reshape(
+            ws * ws, ws * ws, self.heads
+        )
+        bias = bias.transpose(2, 0, 1)[None]  # [1, heads, L, L]
+
+        out = nn.dot_product_attention(split(q), split(k), split(v), bias=bias)
+        out = nn.Dense(c, use_bias=False, dtype=dt)(out.reshape(-1, ws * ws, c))
+
+        out = out.reshape(b, hp // ws, wp // ws, ws, ws, c)
+        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, c)
+        out = out[:, :h, :w]
+        scale = self.param(
+            "attn_scale", nn.initializers.constant(self.attn_scale_init), (1,)
+        )
+        return x + scale * out
+
+
+class SpatialAttention(nn.Module):
+    """Two-dilation depthwise gate (V8:803-813)."""
+
+    feats: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        dt = self.dtype
+        m = jnp.concatenate([_dw(self.feats, dtype=dt)(x), _dw(self.feats, dilation=3, dtype=dt)(x)], -1)
+        gate = lrelu(conv(self.feats, 1, use_bias=False, dtype=dt)(m))
+        gate = nn.sigmoid(conv(self.feats, 1, dtype=dt)(gate))
+        proj = conv(self.feats, 1, use_bias=False, dtype=dt)(m)
+        scale = self.param("scale", nn.initializers.constant(0.2), (1,))
+        return x + scale * proj * gate
+
+
+class LSFL(nn.Module):
+    """EPI structure learning: h/v dilated depthwise convs, angular gate,
+    disparity (SE) modulation (V8:552-608)."""
+
+    feats: int
+    ang: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        dt, c = self.dtype, self.feats
+        eh = conv(c, (1, 3), dilation=(1, self.ang), padding=(0, self.ang),
+                  groups=c, use_bias=False, dtype=dt)(x)
+        eh = conv(c, 1, use_bias=False, dtype=dt)(lrelu(eh))
+        ev = conv(c, (3, 1), dilation=(self.ang, 1), padding=(self.ang, 0),
+                  groups=c, use_bias=False, dtype=dt)(x)
+        ev = conv(c, 1, use_bias=False, dtype=dt)(lrelu(ev))
+
+        comb = jnp.concatenate([eh, ev], -1)
+        gate = lrelu(conv(c, 1, use_bias=False, dtype=dt)(comb))
+        gate = nn.sigmoid(_dw(c, dtype=dt)(gate))
+        epi = conv(c, 1, use_bias=False, dtype=dt)(comb) * gate
+
+        se = jnp.mean(epi, axis=(1, 2), keepdims=True)
+        se = lrelu(conv(c // 4, 1, use_bias=False, dtype=dt)(se))
+        se = nn.sigmoid(conv(c, 1, use_bias=False, dtype=dt)(se))
+        epi = epi * se
+
+        scale = self.param("scale", nn.initializers.constant(0.3), (1,))
+        return x + scale * epi
+
+
+class ProgressiveFusion(nn.Module):
+    """4-stage weighted fusion of the 12 block outputs (V8:614-649)."""
+
+    feats: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, blocks):
+        dt, c = self.dtype, self.feats
+        stages = [
+            conv(c, 1, use_bias=False, dtype=dt, name=f"proj_s{i+1}")(
+                jnp.concatenate(blocks[3 * i : 3 * i + 3], -1)
+            )
+            for i in range(4)
+        ]
+        wts = self.param("stage_weights", nn.initializers.constant(0.25), (4,))
+        wts = nn.softmax(wts)
+        weighted = sum(wts[i] * stages[i] for i in range(4))
+
+        cross = conv(c, 1, use_bias=False, dtype=dt)(jnp.concatenate(stages, -1))
+        cross = lrelu(cross)
+        cross = _dw(c, dtype=dt)(cross)
+        cross = conv(c, 1, use_bias=False, dtype=dt)(cross)
+
+        scale = self.param("scale", nn.initializers.constant(0.3), (1,))
+        return weighted + scale * cross
+
+
+class HLFR(nn.Module):
+    """Deep reconstruction head + x2x2 pixel-shuffle upsampler (V8:716-859)."""
+
+    feats: int
+    scale_factor: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        dt, c = self.dtype, self.feats
+        y = x
+        for i in range(3):
+            y = conv(c, 1, use_bias=False, dtype=dt)(_dw(c, dtype=dt)(y))
+            if i < 2:
+                y = lrelu(y)
+        edge = _dw(c, dtype=dt)(jnp.abs(y))
+        edge = lrelu(conv(c // 8, 1, use_bias=False, dtype=dt)(edge))
+        edge = nn.sigmoid(conv(c, 1, use_bias=False, dtype=dt)(edge))
+        y = ECA(reduction=16, dtype=dt)(y * edge + x)
+
+        stages = [2] * (self.scale_factor // 2) if self.scale_factor in (2, 4) else [self.scale_factor]
+        for r in stages:
+            y = lrelu(_dw(c, dtype=dt)(y))
+            y = conv(c * r * r, 1, use_bias=False, dtype=dt)(y)
+            y = lrelu(pixel_shuffle(y, r))
+        out = conv(1, 3, padding=1, dtype=dt)(y)
+        out_scale = self.param("out_scale", nn.initializers.constant(0.5), (1,))
+        return out * out_scale
+
+
+@register_model("LFMambaX", loss=losses.composite_v8_builder)
+class LFMambaX(nn.Module):
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.cfg.mk("channels", 72)
+        a = self.cfg.angRes
+        s = self.cfg.scale_factor
+        d_state = self.cfg.mk("d_state", 24)
+        d_conv = self.cfg.mk("d_conv", 4)
+        expand = self.cfg.mk("expand", 1.25)
+        use_macpi = self.cfg.mk("use_macpi", True)
+        dt = jnp.dtype(self.cfg.compute_dtype)
+
+        up = bicubic_up(x, s)
+
+        h, w = x.shape[1], x.shape[2]
+        macpi = use_macpi and h % a == 0 and w % a == 0
+        xin = x
+        if macpi:
+            xin = sai_to_macpi(x.transpose(0, 3, 1, 2), a).transpose(0, 2, 3, 1)
+        xin = xin.astype(dt)
+
+        shallow = IFE(c, dt)(xin)
+
+        # depth-aware residual scales (V8:276-293)
+        res_scales = (
+            [0.15 + 0.025 * i for i in range(4)]
+            + [0.25 + 0.02 * i for i in range(5)]
+            + [0.35 + 0.025 * i for i in range(3)]
+        )
+        # rematerialize each block: trades recompute for HBM during training
+        BlockCls = (
+            nn.remat(LFVSSMBlock, static_argnums=(2,))
+            if self.cfg.mk("remat", True)
+            else LFVSSMBlock
+        )
+        feat = shallow
+        blocks = []
+        bi = 0
+        for phase, (n, attn_scale) in enumerate([(4, 0.25), (5, 0.35), (3, None)]):
+            for _ in range(n):
+                feat = BlockCls(
+                    c, d_state, d_conv, expand, res_scales[bi], dt,
+                    name=f"block_{bi}",
+                )(feat, train)
+                blocks.append(feat)
+                bi += 1
+            if attn_scale is not None:
+                feat = WindowAttention(
+                    c, attn_scale_init=attn_scale, dtype=dt, name=f"win_attn_{phase}"
+                )(feat)
+
+        feat = SpatialAttention(c, dt)(feat)
+        feat = LSFL(c, a, dt)(feat)
+        staged = ProgressiveFusion(c, dt)(blocks)
+
+        combined = feat + staged + shallow
+        out = HLFR(c, s, dt)(combined)
+
+        if macpi:
+            out = macpi_to_sai(out.transpose(0, 3, 1, 2), a).transpose(0, 2, 3, 1)
+        out = out.astype(jnp.float32)
+        return out + up

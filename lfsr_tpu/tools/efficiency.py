@@ -1,0 +1,137 @@
+"""Track-2 efficiency gate: params, FLOPs, latency, memory.
+
+TPU-native equivalent of check_efficiency_official.py:
+- constraints: <1,000,000 params and <20 GFLOPs at SAI input
+  [1, 1, 160, 160] (check_efficiency_official.py:35-39);
+- parameter count with a per-module breakdown (:87-121);
+- FLOPs from XLA's own HLO cost analysis (`compiled.cost_analysis()`),
+  replacing fvcore JIT tracing (:124-167). **Convention note** (SURVEY.md
+  §7 hard-part 4): fvcore counts multiply-accumulates (1 MAC = 1 FLOP);
+  XLA counts 2 FLOPs per MAC. The gate therefore compares
+  ``xla_flops / 2`` against the 20 G budget and reports both numbers;
+- latency benchmark with warm-up + block_until_ready (:306-330);
+- device memory from jax memory_stats (:333-341).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lfsr_tpu.config import Config
+from lfsr_tpu.models import registry
+
+PARAM_LIMIT = 1_000_000
+FLOPS_LIMIT = 20e9  # MAC convention, matching fvcore / the challenge gate
+OFFICIAL_INPUT = (1, 160, 160, 1)  # NHWC of the official [1,1,160,160]
+
+
+def count_params(params) -> tuple[int, dict[str, int]]:
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    by_module = defaultdict(int)
+    total = 0
+    for path, leaf in flat:
+        n = math.prod(leaf.shape)
+        total += n
+        top = next(
+            (p.key for p in path if hasattr(p, "key") and p.key != "params"), "other"
+        )
+        by_module[str(top)] += n
+    return total, dict(by_module)
+
+
+def xla_flops(apply_fn, params, x) -> float | None:
+    compiled = jax.jit(apply_fn).lower(params, x).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    return float(ca.get("flops", float("nan"))) if ca else None
+
+
+def latency_bench(apply_fn, params, x, warmup=5, iters=50) -> dict:
+    fn = jax.jit(apply_fn)
+    for _ in range(warmup):
+        fn(params, x).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(params, x)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    return {"mean_ms": dt * 1e3, "throughput_per_s": 1.0 / dt}
+
+
+def memory_stats() -> dict:
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        return {
+            "bytes_in_use": stats.get("bytes_in_use"),
+            "peak_bytes_in_use": stats.get("peak_bytes_in_use"),
+        }
+    except Exception:
+        return {}
+
+
+def check_efficiency(cfg: Config, bench: bool = False, input_shape=OFFICIAL_INPUT) -> dict:
+    model = registry.get_model(cfg)
+    x = jnp.zeros(input_shape, jnp.float32)
+    params = jax.jit(model.init)(jax.random.key(0), x)
+    total, breakdown = count_params(params)
+
+    flops2 = xla_flops(model.apply, params, x)
+    macs = flops2 / 2.0 if flops2 else None
+
+    report = {
+        "model": cfg.model_name,
+        "input_shape": list(input_shape),
+        "params": total,
+        "params_limit": PARAM_LIMIT,
+        "params_pass": total < PARAM_LIMIT,
+        "param_breakdown": dict(sorted(breakdown.items(), key=lambda kv: -kv[1])[:12]),
+        "xla_flops": flops2,
+        "flops_mac_convention": macs,
+        "flops_limit": FLOPS_LIMIT,
+        "flops_pass": (macs is not None) and (macs < FLOPS_LIMIT),
+        "output_shape_pass": None,
+    }
+
+    y = jax.eval_shape(model.apply, params, x)
+    s = cfg.scale_factor
+    report["output_shape_pass"] = tuple(y.shape) == (
+        input_shape[0], input_shape[1] * s, input_shape[2] * s, input_shape[3],
+    )
+
+    if bench:
+        report["latency"] = latency_bench(model.apply, params, x)
+        report["memory"] = memory_stats()
+
+    report["verdict"] = bool(
+        report["params_pass"] and report["flops_pass"] and report["output_shape_pass"]
+    )
+    return report
+
+
+def format_report(r: dict) -> str:
+    lines = [
+        f"model: {r['model']}  input {r['input_shape']}",
+        f"params: {r['params']:,} / {r['params_limit']:,}  "
+        f"[{'PASS' if r['params_pass'] else 'FAIL'}]",
+    ]
+    if r["flops_mac_convention"] is not None:
+        lines.append(
+            f"flops (MAC conv.): {r['flops_mac_convention']/1e9:.2f} G / "
+            f"{r['flops_limit']/1e9:.0f} G  [{'PASS' if r['flops_pass'] else 'FAIL'}]"
+            f"   (xla raw: {r['xla_flops']/1e9:.2f} G)"
+        )
+    lines.append(f"output shape: [{'PASS' if r['output_shape_pass'] else 'FAIL'}]")
+    if "latency" in r:
+        lines.append(
+            f"latency: {r['latency']['mean_ms']:.2f} ms  "
+            f"({r['latency']['throughput_per_s']:.1f} patches/s)"
+        )
+    lines.append(f"VERDICT: {'PASS' if r['verdict'] else 'FAIL'}")
+    return "\n".join(lines)

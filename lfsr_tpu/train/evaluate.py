@@ -1,0 +1,95 @@
+"""Whole-scene tiled evaluation, batched and jitted.
+
+The reference evaluates one 160x160 patch at a time with a cache flush per
+step (train.py:307-313, ``minibatch_for_test=1`` + empty_cache at :311) —
+the #1 throughput sink. Here the patch grid from ``lf_divide`` is padded
+to a multiple of the device minibatch and processed with ``lax.map`` over
+fixed-shape chunks inside ONE jit, then stitched by ``lf_integrate`` and
+scored on device. Scenes are bucketed by their padded grid shape so each
+distinct geometry compiles once.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lfsr_tpu.config import Config
+from lfsr_tpu.ops.metrics import lf_metrics
+from lfsr_tpu.ops.tiling import lf_divide, lf_integrate, tile_counts
+
+
+@partial(
+    jax.jit,
+    static_argnames=("apply_fn", "ang", "scale", "patch", "stride", "minibatch", "h0", "w0"),
+)
+def sr_scene(
+    apply_fn: Callable,
+    params,
+    lr_sai: jnp.ndarray,  # [A*h0, A*w0]
+    *,
+    ang: int,
+    scale: int,
+    patch: int,
+    stride: int,
+    minibatch: int,
+    h0: int,
+    w0: int,
+) -> jnp.ndarray:
+    """Super-resolve one whole scene. Returns SR views [A, A, h0*s, w0*s]."""
+    patches = lf_divide(lr_sai, ang, patch, stride)  # [N, A*p, A*p]
+    n = patches.shape[0]
+    n_pad = -(-n // minibatch) * minibatch
+    patches = jnp.pad(patches, ((0, n_pad - n), (0, 0), (0, 0)))
+    chunks = patches.reshape(n_pad // minibatch, minibatch, *patches.shape[1:])
+
+    def run(chunk):
+        return apply_fn(params, chunk[..., None])[..., 0]
+
+    sr = jax.lax.map(run, chunks)
+    sr = sr.reshape(n_pad, ang * patch * scale, ang * patch * scale)[:n]
+    return lf_integrate(sr, ang, patch * scale, stride * scale, h0 * scale, w0 * scale)
+
+
+def evaluate_scene(apply_fn, params, scene, cfg: Config):
+    """SR + metrics for one TestScene. Returns (psnr, ssim, sr_views)."""
+    ang, s = cfg.angRes, cfg.scale_factor
+    h0 = scene.lr_y.shape[0] // ang
+    w0 = scene.lr_y.shape[1] // ang
+    sr_views = sr_scene(
+        apply_fn,
+        params,
+        jnp.asarray(scene.lr_y),
+        ang=ang,
+        scale=s,
+        patch=cfg.patch_size_for_test,
+        stride=cfg.stride_for_test,
+        minibatch=cfg.minibatch_for_test,
+        h0=h0,
+        w0=w0,
+    )
+    # views -> SAI mosaic for the metric protocol
+    sr_sai = jnp.moveaxis(sr_views, 2, 1).reshape(ang * h0 * s, ang * w0 * s)
+    hr = jnp.asarray(scene.hr_y[: ang * h0 * s, : ang * w0 * s])
+    p, ssim_v = lf_metrics(hr, sr_sai, ang)
+    return float(p), float(ssim_v), sr_views
+
+
+def evaluate_sets(apply_fn, params, scenes_by_set: dict, cfg: Config, log=print):
+    """Per-dataset averages (train.py:286-347 protocol). Returns dict."""
+    results = {}
+    for name, scenes in scenes_by_set.items():
+        per_scene = []
+        for sc in scenes:
+            p, s, _ = evaluate_scene(apply_fn, params, sc, cfg)
+            per_scene.append((sc.name, p, s))
+            log(f"  {name}/{sc.name}: PSNR {p:.3f} SSIM {s:.4f}")
+        avg_p = float(np.mean([x[1] for x in per_scene]))
+        avg_s = float(np.mean([x[2] for x in per_scene]))
+        results[name] = {"psnr": avg_p, "ssim": avg_s, "scenes": per_scene}
+        log(f"  {name} average: PSNR {avg_p:.3f} SSIM {avg_s:.4f}")
+    return results

@@ -1,0 +1,221 @@
+"""Trainer: jitted data-parallel train step, schedule, checkpointing.
+
+Replaces the reference training loop (train.py:20-282) with a TPU-native
+one:
+- AdamW(lr 2e-4, wd 1e-4) + linear warm-up -> cosine to 1e-6
+  (train.py:98-124), as one optax schedule over steps;
+- global-norm clip 1.0 (train.py:266) in the optax chain;
+- NaN-batch skip (train.py:260-262) via optax.apply_if_finite;
+- AMP autocast+GradScaler (train.py:127) becomes bf16 activations with
+  f32 params/optimizer — no loss scaling needed on TPU;
+- augmentation + masked pre-training + per-step PSNR all run inside the
+  single jitted step (the reference computed metrics per step on CPU,
+  train.py:273);
+- checkpoints carry params AND optimizer state + epoch + PRNG key via
+  orbax (the reference dropped optimizer state, SURVEY.md §5);
+- parallelism: batch sharded over the 1-D ``data`` mesh, params
+  replicated; XLA emits the gradient psum over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from pathlib import Path
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from lfsr_tpu.config import Config
+from lfsr_tpu.data.datasets import TrainArrays, augment_batch, batch_indices
+from lfsr_tpu.models import registry
+from lfsr_tpu.ops.metrics import psnr
+from lfsr_tpu.parallel.mesh import make_mesh, batch_sharding, replicated
+from lfsr_tpu.train import masking
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_schedule(cfg: Config, steps_per_epoch: int) -> optax.Schedule:
+    warmup = max(1, cfg.warmup_epochs * steps_per_epoch)
+    total = max(warmup + 1, cfg.epochs * steps_per_epoch)
+    return optax.warmup_cosine_decay_schedule(
+        init_value=cfg.lr / 10.0,
+        peak_value=cfg.lr,
+        warmup_steps=warmup,
+        decay_steps=total,
+        end_value=cfg.min_lr,
+    )
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip_norm),
+        optax.adamw(
+            make_schedule(cfg, steps_per_epoch), weight_decay=cfg.weight_decay
+        ),
+    )
+    # NaN-loss batches are skipped, mirroring train.py:260-262.
+    return optax.apply_if_finite(tx, max_consecutive_errors=100)
+
+
+@dataclasses.dataclass
+class Trainer:
+    cfg: Config
+    steps_per_epoch: int
+    devices: Any = None  # default: all local devices
+
+    def __post_init__(self):
+        cfg = self.cfg
+        self.model = registry.get_model(cfg)
+        self.loss_fn = registry.get_loss(cfg)
+        self.tx = make_optimizer(cfg, self.steps_per_epoch)
+        self.mesh = make_mesh(cfg, devices=self.devices)
+        self._bs = batch_sharding(self.mesh)
+        self._rep = replicated(self.mesh)
+        self._step_fns: dict[int, Callable] = {}
+
+    # ------------------------------------------------------------------
+    def init_state(self, key: jax.Array, sample_lr: np.ndarray) -> TrainState:
+        x = jnp.zeros((1, *sample_lr.shape[1:]), jnp.float32)
+        params = jax.jit(self.model.init)(key, x)
+        params = jax.device_put(params, self._rep)
+        opt_state = jax.device_put(self.tx.init(params), self._rep)
+        return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+
+    # ------------------------------------------------------------------
+    def _build_step(self, mask_k: int):
+        cfg = self.cfg
+        model, loss_fn, tx = self.model, self.loss_fn, self.tx
+        ang = cfg.angRes
+
+        def step(state: TrainState, lr, hr, key, sracm_ratio):
+            kaug, kmask, ksr, kdrop = jax.random.split(key, 4)
+            lr_a, hr_a = augment_batch(kaug, lr, hr)
+            x = lr_a[..., None]
+            y = hr_a[..., None]
+            if cfg.use_masked_pretrain and mask_k > 0:
+                x = masking.mask_views(kmask, x, ang, mask_k, cfg.mask_strategy)
+                x = masking.sracm(ksr, x, ang, sracm_ratio)
+
+            def compute_loss(params):
+                kwargs = {}
+                if cfg.model_name in _TRAIN_FLAG_MODELS:
+                    kwargs = dict(train=True, rngs={"dropout": kdrop})
+                sr = model.apply(params, x, **kwargs)
+                return loss_fn(sr, y), sr
+
+            (loss, sr), grads = jax.value_and_grad(compute_loss, has_aux=True)(
+                state.params
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(
+                params=params, opt_state=opt_state, step=state.step + 1
+            )
+            batch_psnr = jnp.mean(psnr(y[..., 0], sr[..., 0]))
+            return new_state, {"loss": loss, "psnr": batch_psnr}
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def step_fn(self, mask_k: int) -> Callable:
+        if mask_k not in self._step_fns:
+            self._step_fns[mask_k] = self._build_step(mask_k)
+        return self._step_fns[mask_k]
+
+    # ------------------------------------------------------------------
+    def run_epoch(
+        self,
+        state: TrainState,
+        data: TrainArrays,
+        epoch: int,
+        key: jax.Array,
+    ):
+        cfg = self.cfg
+        ratio = (
+            masking.progressive_ratio(
+                epoch, cfg.mask_start_ratio, cfg.mask_end_ratio, cfg.mask_warmup_epochs
+            )
+            if cfg.use_masked_pretrain
+            else 0.0
+        )
+        mask_k = masking.num_masked_views(cfg.angRes, ratio) if ratio > 0 else 0
+        fn = self.step_fn(mask_k)
+
+        kperm, kstep = jax.random.split(jax.random.fold_in(key, epoch))
+        idx = batch_indices(kperm, len(data), cfg.batch_size, self.steps_per_epoch)
+        losses, psnrs = [], []
+        for i in range(self.steps_per_epoch):
+            b = idx[i]
+            lr = jax.device_put(data.lr[b], self._bs)
+            hr = jax.device_put(data.hr[b], self._bs)
+            state, m = fn(state, lr, hr, jax.random.fold_in(kstep, i), jnp.float32(ratio))
+            losses.append(m["loss"])
+            psnrs.append(m["psnr"])
+        return state, {
+            "loss": float(jnp.mean(jnp.stack(losses))),
+            "psnr": float(jnp.mean(jnp.stack(psnrs))),
+            "mask_ratio": ratio,
+        }
+
+
+# Models whose __call__ accepts (x, train) and uses dropout.
+_TRAIN_FLAG_MODELS = {"LFMambaX"}
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing (orbax) — full train state, unlike the reference which only
+# stored params (train.py:165-174) and silently restarted the LR schedule.
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(ckpt_dir: str | Path, state: TrainState, epoch: int):
+    import orbax.checkpoint as ocp
+
+    path = Path(ckpt_dir).absolute() / f"epoch_{epoch:04d}"
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            path,
+            {
+                "params": state.params,
+                "opt_state": state.opt_state,
+                "step": np.asarray(state.step),
+                "epoch": np.asarray(epoch),
+            },
+        )
+    return path
+
+
+def latest_checkpoint(ckpt_dir: str | Path) -> Optional[Path]:
+    d = Path(ckpt_dir)
+    if not d.is_dir():
+        return None
+    cands = sorted(p for p in d.iterdir() if p.name.startswith("epoch_"))
+    return cands[-1] if cands else None
+
+
+def restore_checkpoint(path: str | Path, state: TrainState):
+    import orbax.checkpoint as ocp
+
+    template = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": np.asarray(state.step),
+        "epoch": np.asarray(0),
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(Path(path).absolute(), template)
+    new_state = TrainState(
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        step=jnp.asarray(restored["step"]),
+    )
+    return new_state, int(restored["epoch"])

@@ -21,6 +21,9 @@ PUBLISHED_PARAMS = {
     "LF_InterNet": 5.483e6,
     "DistgSSR": 3.582e6,
     "EPIT": 1.470e6,
+    "LFT": 1.163e6,
+    "LFSSR": 1.774e6,
+    "LF_ATO": 1.364e6,
 }
 
 SMALL_KW = {"n_blocks": 2, "n_groups": 2, "channels": 32}
