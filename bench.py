@@ -50,26 +50,24 @@ def main():
         h0=h0, w0=h0,
     )
 
-    # --- batched (ours) ---
+    # --- batched (ours); per-iteration device sync for honest timing ---
     sr_scene(model.apply, params, lr, **kw).block_until_ready()  # compile
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = sr_scene(model.apply, params, lr, **kw)
-    out.block_until_ready()
+        sr_scene(model.apply, params, lr, **kw).block_until_ready()
     batched_scene_s = (time.perf_counter() - t0) / iters
     scenes_per_sec = 1.0 / batched_scene_s
 
-    # --- reference execution pattern: per-patch dispatch + host sync ---
+    # --- reference execution pattern: one patch per dispatch with a sync
+    # after each (train.py:307-313 semantics), same device ---
     patches = lf_divide(lr, ang, cfg.patch_size_for_test, cfg.stride_for_test)
     one = jax.jit(model.apply)
-    first = one(params, patches[:1][..., None])
-    first.block_until_ready()
+    one(params, patches[:1][..., None]).block_until_ready()
     n = patches.shape[0]
     t0 = time.perf_counter()
     for i in range(n):
-        y = one(params, patches[i : i + 1][..., None])
-        np.asarray(y)  # host sync per patch, like empty_cache+CPU copy
+        one(params, patches[i : i + 1][..., None]).block_until_ready()
     ref_scene_s = time.perf_counter() - t0
     ref_scenes_per_sec = 1.0 / ref_scene_s
 

@@ -16,5 +16,7 @@ from lfsr_tpu.models import lfmambax  # noqa: F401
 from lfsr_tpu.models import lft  # noqa: F401
 from lfsr_tpu.models import lfssr  # noqa: F401
 from lfsr_tpu.models import lf_ato  # noqa: F401
+from lfsr_tpu.models import reslf  # noqa: F401
+from lfsr_tpu.models import efficient_lfnet_v2  # noqa: F401
 
 from lfsr_tpu.models.registry import get_model, get_loss, available  # noqa: F401

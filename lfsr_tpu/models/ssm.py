@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from lfsr_tpu.ops.pallas_scan import selective_scan_fused
 from lfsr_tpu.ops.selective_scan import selective_scan
 
 
@@ -35,6 +36,9 @@ class Mamba(nn.Module):
     expand: float = 2.0
     dt_rank: int | None = None
     freeze_state_params: bool = False
+    # 'pallas' = fused VMEM-chunked kernel (forward) + chunked-scan VJP;
+    # 'assoc' = pure associative_scan (reference implementation).
+    scan_impl: str = "pallas"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -87,6 +91,16 @@ class Mamba(nn.Module):
             D_skip = jax.lax.stop_gradient(D_skip)
         A = -jnp.exp(A_log)
 
-        y = selective_scan(xc, delta, A, Bc, Cc, D_skip)
+        L = xc.shape[1]
+        on_tpu = jax.default_backend() == "tpu"
+        if self.scan_impl == "pallas" and on_tpu and L % 128 == 0:
+            y = selective_scan_fused(xc, delta, A, Bc, Cc, D_skip, 128)
+        elif L % 256 == 0 and L > 4096:
+            # long rasters: bound the [*, D, N] intermediates to one chunk
+            from lfsr_tpu.ops.selective_scan import selective_scan_chunked
+
+            y = selective_scan_chunked(xc, delta, A, Bc, Cc, D_skip, chunk=256)
+        else:
+            y = selective_scan(xc, delta, A, Bc, Cc, D_skip)
         y = y * nn.silu(z)
         return nn.Dense(D, use_bias=False, dtype=dt, name="out_proj")(y)

@@ -39,9 +39,15 @@ from lfsr_tpu.train import masking
 
 
 class TrainState(struct.PyTreeNode):
-    params: Any
+    params: Any          # trainable collection only
+    model_state: Any     # non-trainable collections (e.g. batch_stats)
     opt_state: Any
     step: jnp.ndarray
+
+    @property
+    def variables(self):
+        """Full variables dict for model.apply."""
+        return {"params": self.params, **(self.model_state or {})}
 
 
 def make_schedule(cfg: Config, steps_per_epoch: int) -> optax.Schedule:
@@ -86,10 +92,17 @@ class Trainer:
     # ------------------------------------------------------------------
     def init_state(self, key: jax.Array, sample_lr: np.ndarray) -> TrainState:
         x = jnp.zeros((1, *sample_lr.shape[1:]), jnp.float32)
-        params = jax.jit(self.model.init)(key, x)
+        variables = dict(jax.jit(self.model.init)(key, x))
+        params = variables.pop("params")
         params = jax.device_put(params, self._rep)
+        model_state = jax.device_put(variables, self._rep)
         opt_state = jax.device_put(self.tx.init(params), self._rep)
-        return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+        return TrainState(
+            params=params,
+            model_state=model_state,
+            opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32),
+        )
 
     # ------------------------------------------------------------------
     def _build_step(self, mask_k: int):
@@ -106,20 +119,32 @@ class Trainer:
                 x = masking.mask_views(kmask, x, ang, mask_k, cfg.mask_strategy)
                 x = masking.sracm(ksr, x, ang, sracm_ratio)
 
+            has_bn = bool(state.model_state)
+
             def compute_loss(params):
+                variables = {"params": params, **(state.model_state or {})}
                 kwargs = {}
                 if cfg.model_name in _TRAIN_FLAG_MODELS:
                     kwargs = dict(train=True, rngs={"dropout": kdrop})
-                sr = model.apply(params, x, **kwargs)
-                return loss_fn(sr, y), sr
+                if has_bn:
+                    sr, new_model_state = model.apply(
+                        variables, x, mutable=list(state.model_state), **kwargs
+                    )
+                else:
+                    sr = model.apply(variables, x, **kwargs)
+                    new_model_state = state.model_state
+                return loss_fn(sr, y), (sr, new_model_state)
 
-            (loss, sr), grads = jax.value_and_grad(compute_loss, has_aux=True)(
-                state.params
-            )
+            (loss, (sr, new_model_state)), grads = jax.value_and_grad(
+                compute_loss, has_aux=True
+            )(state.params)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             new_state = TrainState(
-                params=params, opt_state=opt_state, step=state.step + 1
+                params=params,
+                model_state=new_model_state,
+                opt_state=opt_state,
+                step=state.step + 1,
             )
             batch_psnr = jnp.mean(psnr(y[..., 0], sr[..., 0]))
             return new_state, {"loss": loss, "psnr": batch_psnr}
@@ -167,8 +192,8 @@ class Trainer:
         }
 
 
-# Models whose __call__ accepts (x, train) and uses dropout.
-_TRAIN_FLAG_MODELS = {"LFMambaX"}
+# Models whose __call__ accepts (x, train) (dropout and/or batch norm).
+_TRAIN_FLAG_MODELS = {"LFMambaX", "EfficientLFNetV2"}
 
 
 # ---------------------------------------------------------------------------
@@ -186,6 +211,7 @@ def save_checkpoint(ckpt_dir: str | Path, state: TrainState, epoch: int):
             path,
             {
                 "params": state.params,
+                "model_state": state.model_state,
                 "opt_state": state.opt_state,
                 "step": np.asarray(state.step),
                 "epoch": np.asarray(epoch),
@@ -207,6 +233,7 @@ def restore_checkpoint(path: str | Path, state: TrainState):
 
     template = {
         "params": state.params,
+        "model_state": state.model_state,
         "opt_state": state.opt_state,
         "step": np.asarray(state.step),
         "epoch": np.asarray(0),
@@ -215,6 +242,7 @@ def restore_checkpoint(path: str | Path, state: TrainState):
         restored = ckptr.restore(Path(path).absolute(), template)
     new_state = TrainState(
         params=restored["params"],
+        model_state=restored["model_state"],
         opt_state=restored["opt_state"],
         step=jnp.asarray(restored["step"]),
     )

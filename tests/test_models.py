@@ -24,6 +24,7 @@ PUBLISHED_PARAMS = {
     "LFT": 1.163e6,
     "LFSSR": 1.774e6,
     "LF_ATO": 1.364e6,
+    "resLF": 8.646e6,
 }
 
 SMALL_KW = {"n_blocks": 2, "n_groups": 2, "channels": 32}

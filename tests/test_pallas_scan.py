@@ -1,0 +1,49 @@
+"""Pallas selective scan (interpret mode on CPU) vs the sequential oracle."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lfsr_tpu.ops.pallas_scan import selective_scan_fused
+from lfsr_tpu.ops.selective_scan import selective_scan, selective_scan_sequential
+
+RNG = np.random.default_rng(6)
+
+
+def _mk(B=2, L=256, D=8, N=4):
+    u = jnp.asarray(RNG.normal(size=(B, L, D)), jnp.float32)
+    delta = jnp.asarray(np.log1p(np.exp(RNG.normal(size=(B, L, D)))), jnp.float32)
+    A = jnp.asarray(-np.exp(RNG.normal(size=(D, N))), jnp.float32)
+    Bc = jnp.asarray(RNG.normal(size=(B, L, N)), jnp.float32)
+    Cc = jnp.asarray(RNG.normal(size=(B, L, N)), jnp.float32)
+    D_ = jnp.asarray(RNG.normal(size=(D,)), jnp.float32)
+    return u, delta, A, Bc, Cc, D_
+
+
+def test_fused_matches_oracle():
+    args = _mk()
+    got = np.asarray(selective_scan_fused(*args, 128))
+    want = np.asarray(selective_scan_sequential(*args))
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
+
+
+def test_fused_multi_chunk_carry():
+    # carry propagation across 4 chunks of 64
+    args = _mk(B=1, L=256)
+    got = np.asarray(selective_scan_fused(*args, 64))
+    want = np.asarray(selective_scan_sequential(*args))
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
+
+
+def test_fused_gradient_matches_reference_impl():
+    u, delta, A, Bc, Cc, D_ = _mk(B=1, L=128, D=4, N=2)
+
+    def f_fused(u_):
+        return jnp.sum(selective_scan_fused(u_, delta, A, Bc, Cc, D_, 64) ** 2)
+
+    def f_ref(u_):
+        return jnp.sum(selective_scan(u_, delta, A, Bc, Cc, D_) ** 2)
+
+    g1 = jax.grad(f_fused)(u)
+    g2 = jax.grad(f_ref)(u)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4)
