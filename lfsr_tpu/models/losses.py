@@ -137,17 +137,43 @@ def composite_v8_builder(cfg: Config):
     return loss
 
 
+def gradient_variance(sr, hr):
+    """|Var(sobel(sr)) - Var(sobel(hr))| (V6_4.py:681-697)."""
+    kx = _SOBEL_X.reshape(3, 3, 1, 1)
+    ky = _SOBEL_X.T.reshape(3, 3, 1, 1)
+
+    def edge(a, k):
+        return jax.lax.conv_general_dilated(
+            _f32(a), k, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    pv = jnp.var(edge(sr, kx)) + jnp.var(edge(sr, ky))
+    tv = jnp.var(edge(hr, kx)) + jnp.var(edge(hr, ky))
+    return jnp.abs(pv - tv)
+
+
+def angular_consistency_h(sr, hr, ang: int):
+    """Horizontal-parallax-only variant (V6_4.py:699-713)."""
+    sv = sai_to_views(_f32(sr[..., 0]), ang)
+    hv = sai_to_views(_f32(hr[..., 0]), ang)
+    return jnp.mean(jnp.abs(jnp.diff(sv, axis=2) - jnp.diff(hv, axis=2)))
+
+
 def composite_v64_builder(cfg: Config):
-    """Charbonnier(1e-6) + 0.1 FFT + 0.01 angular (V6_4.py:660-720 core
-    terms; the tiny gradient-variance term is folded into gradient_l1)."""
+    """Charbonnier(1e-6) + 0.1 FFT + 0.005 gradient variance + 0.01
+    horizontal angular consistency (V6_4.py:660-720)."""
     ang = cfg.angRes
+    wf = cfg.mk("fft_weight", 0.1)
+    wg = cfg.mk("grad_weight", 0.005)
+    wa = cfg.mk("angular_weight", 0.01)
 
     def loss(sr, hr):
-        out = charbonnier(sr, hr, 1e-6)
-        out += 0.1 * fft_magnitude_l1(sr, hr)
-        out += 0.005 * gradient_l1(sr, hr)
+        out = charbonnier(sr, hr, cfg.mk("charbonnier_eps", 1e-6))
+        out += wf * fft_magnitude_l1(sr, hr)
+        out += wg * gradient_variance(sr, hr)
         if sr.shape[1] % ang == 0:
-            out += 0.01 * angular_consistency(sr, hr, ang)
+            out += wa * angular_consistency_h(sr, hr, ang)
         return out
 
     return loss
