@@ -25,6 +25,8 @@ PUBLISHED_PARAMS = {
     "LFSSR": 1.774e6,
     "LF_ATO": 1.364e6,
     "resLF": 8.646e6,
+    "LF_IINet": 4.886e6,
+    "MEG_Net": 1.775e6,
 }
 
 SMALL_KW = {"n_blocks": 2, "n_groups": 2, "channels": 32}
