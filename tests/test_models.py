@@ -27,6 +27,7 @@ PUBLISHED_PARAMS = {
     "resLF": 8.646e6,
     "LF_IINet": 4.886e6,
     "MEG_Net": 1.775e6,
+    "HLFSR": 13.87e6,
 }
 
 SMALL_KW = {"n_blocks": 2, "n_groups": 2, "channels": 32}
