@@ -29,6 +29,7 @@ PUBLISHED_PARAMS = {
     "MEG_Net": 1.775e6,
     "HLFSR": 13.87e6,
     "LF_DET": 1.687e6,
+    "DPT": 3.778e6,
 }
 
 SMALL_KW = {"n_blocks": 2, "n_groups": 2, "channels": 32}
