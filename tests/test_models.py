@@ -30,6 +30,7 @@ PUBLISHED_PARAMS = {
     "HLFSR": 13.87e6,
     "LF_DET": 1.687e6,
     "DPT": 3.778e6,
+    "LFSSR_SAV": 1.543e6,
 }
 
 SMALL_KW = {"n_blocks": 2, "n_groups": 2, "channels": 32}
