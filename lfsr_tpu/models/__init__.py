@@ -26,5 +26,6 @@ from lfsr_tpu.models import hlfsr  # noqa: F401
 from lfsr_tpu.models import lf_det  # noqa: F401
 from lfsr_tpu.models import dpt  # noqa: F401
 from lfsr_tpu.models import lfssr_sav  # noqa: F401
+from lfsr_tpu.models import lf_dfnet  # noqa: F401
 
 from lfsr_tpu.models.registry import get_model, get_loss, available  # noqa: F401

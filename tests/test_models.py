@@ -70,6 +70,15 @@ def test_forward_shape_and_jit(name, scale):
     assert bool(jnp.isfinite(loss))
 
 
+def test_lf_dfnet_params_near_published():
+    # The reference DFnet is dead code (exports Net, needs a CUDA DCN
+    # package) so its exact count is unverifiable; the published table says
+    # 3.990M and our TPU-native deformable conv lands within 0.2%.
+    cfg = Config(model_name="LF_DFnet", scale_factor=4, compute_dtype="float32")
+    n = _count_params(cfg)
+    assert abs(n - 3.990e6) / 3.990e6 < 2e-3, n
+
+
 def test_unknown_model_raises():
     with pytest.raises(KeyError):
         registry.spec("NoSuchModel")
