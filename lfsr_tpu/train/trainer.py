@@ -193,7 +193,11 @@ class Trainer:
 
 
 # Models whose __call__ accepts (x, train) (dropout and/or batch norm).
-_TRAIN_FLAG_MODELS = {"LFMambaX", "EfficientLFNetV2"}
+_TRAIN_FLAG_MODELS = {
+    "LFMambaX", "EfficientLFNetV2", "EfficientLFNetV3", "EfficientLFNetV64",
+    "EfficientLFNetV6", "EfficientLFNetV6_1", "EfficientLFNetV6_3",
+    "EfficientLFNetV6_5", "EfficientLFNetV7", "LF_DET",
+}
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,47 @@
+"""Smoke tests for the V-series variant registrations and V3/DFnet."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lfsr_tpu.config import Config
+from lfsr_tpu.models import registry
+
+RNG = np.random.default_rng(11)
+
+VARIANTS = [
+    "EfficientLFNetV3",
+    "EfficientLFNetV4_5",
+    "EfficientLFNetV6_1",
+    "EfficientLFNetV7",
+    "LF_DFnet",
+]
+
+
+@pytest.mark.parametrize("name", VARIANTS)
+def test_variant_forward(name):
+    cfg = Config(
+        model_name=name, scale_factor=2, compute_dtype="float32",
+        model_kwargs={"n_blocks": 2, "channels": 24, "d_state": 4, "remat": False},
+    )
+    model = registry.get_model(cfg)
+    x = jnp.asarray(RNG.random((1, 5 * 8, 5 * 8, 1)), jnp.float32)
+    variables = model.init(jax.random.key(0), x)
+    y = jax.jit(model.apply)(variables, x)
+    assert y.shape == (1, 80, 80, 1)
+    assert bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_registry_covers_reference_zoo():
+    # every loadable model family of the reference zoo must be present
+    expected = {
+        "VDSR", "EDSR", "RCAN", "resLF", "LFSSR", "LF_ATO", "LF_InterNet",
+        "DistgSSR", "LFT", "EPIT", "HLFSR", "LF_DET", "DPT", "LFSSR_SAV",
+        "MEG_Net", "LF_IINet", "LF_DFnet",
+        "EfficientLFNetV2", "EfficientLFNetV3", "EfficientLFNetV4_5",
+        "EfficientLFNetV5", "EfficientLFNetV6", "EfficientLFNetV6_1",
+        "EfficientLFNetV6_3", "EfficientLFNetV6_5", "EfficientLFNetV64",
+        "EfficientLFNetV7", "LFMambaX",
+    }
+    assert expected <= set(registry.available())
