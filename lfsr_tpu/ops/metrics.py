@@ -104,3 +104,29 @@ def lf_metrics(label_sai: jnp.ndarray, out_sai: jnp.ndarray, ang: int):
     p = psnr(lv, ov)
     s = ssim(lv, ov)
     return jnp.mean(p), jnp.mean(s)
+
+
+@functools.partial(jax.jit, static_argnames=("ang_in", "ang_out"))
+def lf_metrics_re(
+    label_sai: jnp.ndarray, out_sai: jnp.ndarray, ang_in: int, ang_out: int
+):
+    """Angular-SR (task='RE') metric protocol (utils/utils.py:110-131):
+    SSIM uses use_sample_covariance=False, and the metric average excludes
+    the input views — every ((ang_out-1)//(ang_in-1))-th grid position.
+    """
+    lv = sai_to_views(label_sai, ang_out)
+    ov = sai_to_views(out_sai, ang_out)
+    p = psnr(lv, ov)
+    s = ssim(lv, ov, use_sample_covariance=False)
+
+    step = (ang_out - 1) // (ang_in - 1)
+    grid = np.ones((ang_out, ang_out), np.float32)
+    grid[::step, ::step] = 0.0  # zero out the input views
+    mask = jnp.asarray(grid)
+    # broadcast mask over leading dims; average over synthesized views only
+    denom = jnp.sum(mask)
+    lead = p.shape[:-2]
+    m = jnp.broadcast_to(mask, (*lead, ang_out, ang_out))
+    p_mean = jnp.sum(p * m) / (denom * max(1, int(np.prod(lead or (1,)))))
+    s_mean = jnp.sum(s * m) / (denom * max(1, int(np.prod(lead or (1,)))))
+    return p_mean, s_mean

@@ -69,3 +69,21 @@ def test_lf_metrics_view_average():
             ssims.append(_skimage_ssim_f64(lv[u, v], ov[u, v]))
     np.testing.assert_allclose(float(p), np.mean(psnrs), rtol=1e-4)
     np.testing.assert_allclose(float(s), np.mean(ssims), atol=5e-5)
+
+
+def test_lf_metrics_re_excludes_input_views():
+    from lfsr_tpu.ops.metrics import lf_metrics_re
+
+    ang_in, ang_out, h = 2, 5, 24  # step = 4: views (0,0),(0,4),(4,0),(4,4) are inputs
+    rng2 = np.random.default_rng(12)
+    label = rng2.random((ang_out * h, ang_out * h)).astype(np.float32)
+    out = label.copy().reshape(ang_out, h, ang_out, h)
+    # corrupt ONLY the input views; synthesized views stay perfect
+    for u in (0, 4):
+        for v in (0, 4):
+            out[u, :, v, :] = rng2.random((h, h))
+    out = out.reshape(ang_out * h, ang_out * h)
+    p, s = lf_metrics_re(jnp.asarray(label), jnp.asarray(out), ang_in, ang_out)
+    # perfect on every counted view -> inf-ish PSNR, SSIM == 1
+    assert float(s) > 0.999
+    assert float(p) > 80
