@@ -37,7 +37,7 @@ def main():
 
     ang, scale, h0 = 5, 4, 128
     cfg = Config(
-        model_name="LFMambaX", scale_factor=scale, minibatch_for_test=16
+        model_name="LFMambaX", scale_factor=scale, minibatch_for_test=8
     )
     model = registry.get_model(cfg)
     rng = np.random.default_rng(0)

@@ -53,7 +53,7 @@ def main(cfg, ckpt_path=None, out_root="submission", make_zip=True, skip_gate=Fa
     out = Path(out_root)
     for subset, items in scenes.items():
         for sc in items:
-            _, _, sr_views = evaluate_scene(model.apply, state.params, sc, cfg)
+            _, _, sr_views = evaluate_scene(model.apply, state.variables, sc, cfg)
             rgb = views_to_rgb_uint8(np.asarray(sr_views), sc.sr_cbcr, cfg.angRes)
             save_scene_views(out / subset / sc.name, rgb)
             log(f"wrote {subset}/{sc.name} ({rgb.shape[3]}x{rgb.shape[2]})")

@@ -178,7 +178,7 @@ class EfficientLFNetV64(nn.Module):
 
         BlockCls = (
             nn.remat(LFVSSMBlockV64, static_argnums=(2,))
-            if self.cfg.mk("remat", True)
+            if self.cfg.mk("remat", True) and train
             else LFVSSMBlockV64
         )
         feat = shallow

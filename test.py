@@ -53,7 +53,7 @@ def main(cfg, ckpt_path: str | None = None, save_views: bool = True):
     for name, scenes in test_sets.items():
         per_scene = []
         for sc in scenes:
-            p, s, sr_views = evaluate_scene(model.apply, state.params, sc, cfg)
+            p, s, sr_views = evaluate_scene(model.apply, state.variables, sc, cfg)
             per_scene.append((sc.name, p, s))
             log(f"{name}/{sc.name}: PSNR {p:.3f} SSIM {s:.4f}")
             if save_views:

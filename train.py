@@ -59,7 +59,7 @@ def main(cfg, eval_every: int = 5):
 
         if test_sets and (epoch % eval_every == 4 or epoch == cfg.epochs - 1):
             model = tr.model
-            results = evaluate_sets(model.apply, state.params, test_sets, cfg, log)
+            results = evaluate_sets(model.apply, state.variables, test_sets, cfg, log)
             sheet = MetricSheet()
             for name, r in results.items():
                 sheet.add_set(name, r["scenes"])
