@@ -26,7 +26,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--decay_rate", type=float, default=1e-4)
     p.add_argument("--epoch", type=int, default=51)
-    p.add_argument("--warmup_epochs", type=int, default=5)
+    p.add_argument("--warmup_epochs", type=int, default=None,
+                   help="default: min(5, epoch // 10), the reference recipe")
+    p.add_argument("--eval_every", type=int, default=5,
+                   help="validation cadence in epochs (train.py:177)")
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--use_masked_pretrain", type=int, default=1)
@@ -53,6 +56,7 @@ def config_from_args(args) -> Config:
         weight_decay=args.decay_rate,
         epochs=args.epoch,
         warmup_epochs=args.warmup_epochs,
+        eval_every=args.eval_every,
         compute_dtype=args.compute_dtype,
         seed=args.seed,
         use_masked_pretrain=bool(args.use_masked_pretrain),

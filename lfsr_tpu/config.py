@@ -42,7 +42,9 @@ class Config:
     lr: float = 2e-4
     weight_decay: float = 1e-4
     epochs: int = 51
-    warmup_epochs: int = 5
+    # None derives the reference recipe min(5, epochs // 10) (train.py:109).
+    warmup_epochs: Optional[int] = None
+    eval_every: int = 5  # validation cadence in epochs (train.py:177)
     min_lr: float = 1e-6
     grad_clip_norm: float = 1.0
     compute_dtype: str = "bfloat16"  # activations; params stay float32

@@ -58,8 +58,12 @@ def central_crop_views(lf: np.ndarray, ang: int) -> np.ndarray:
 
 
 def _views_y(lf: np.ndarray) -> np.ndarray:
-    """[U,V,H,W,3] RGB -> [U,V,H,W] Y channel, float64, clipped to [0,1]."""
-    lf = np.clip(lf, 0.0, 1.0)
+    """[U,V,H,W,3] RGB -> [U,V,H,W] Y channel, float64.
+
+    No clipping: the reference generators pass LF data through rgb2ycbcr
+    unclipped (Generate_Data_for_Training.py:59-72), so out-of-range
+    source values propagate identically here to preserve bit parity.
+    """
     U, V, H, W, _ = lf.shape
     out = np.empty((U, V, H, W), dtype=np.float64)
     for u in range(U):
@@ -69,8 +73,7 @@ def _views_y(lf: np.ndarray) -> np.ndarray:
 
 
 def _views_cbcr(lf: np.ndarray) -> np.ndarray:
-    """[U,V,H,W,3] RGB -> [U,V,H,W,2] CbCr."""
-    lf = np.clip(lf, 0.0, 1.0)
+    """[U,V,H,W,3] RGB -> [U,V,H,W,2] CbCr (unclipped, as the reference)."""
     U, V, H, W, _ = lf.shape
     out = np.empty((U, V, H, W, 2), dtype=np.float64)
     for u in range(U):

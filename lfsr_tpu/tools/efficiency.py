@@ -79,16 +79,28 @@ def memory_stats() -> dict:
 def check_efficiency(cfg: Config, bench: bool = False, input_shape=OFFICIAL_INPUT) -> dict:
     model = registry.get_model(cfg)
     x = jnp.zeros(input_shape, jnp.float32)
-    params = jax.jit(model.init)(jax.random.key(0), x)
+    variables = jax.jit(model.init)(jax.random.key(0), x)
+    params = variables
+    # The official gate counts only named_parameters
+    # (check_efficiency_official.py count_parameters); non-trainable
+    # collections such as batch_stats (BN running mean/var) are reported
+    # separately, not against the 1M limit.
+    other_collections = {}
+    if isinstance(variables, dict) and "params" in variables:
+        params = {"params": variables["params"]}
+        other_collections = {
+            k: count_params(v)[0] for k, v in variables.items() if k != "params"
+        }
     total, breakdown = count_params(params)
 
-    flops2 = xla_flops(model.apply, params, x)
+    flops2 = xla_flops(model.apply, variables, x)
     macs = flops2 / 2.0 if flops2 else None
 
     report = {
         "model": cfg.model_name,
         "input_shape": list(input_shape),
         "params": total,
+        "non_trainable": other_collections,
         "params_limit": PARAM_LIMIT,
         "params_pass": total < PARAM_LIMIT,
         "param_breakdown": dict(sorted(breakdown.items(), key=lambda kv: -kv[1])[:12]),
@@ -99,14 +111,14 @@ def check_efficiency(cfg: Config, bench: bool = False, input_shape=OFFICIAL_INPU
         "output_shape_pass": None,
     }
 
-    y = jax.eval_shape(model.apply, params, x)
+    y = jax.eval_shape(model.apply, variables, x)
     s = cfg.scale_factor
     report["output_shape_pass"] = tuple(y.shape) == (
         input_shape[0], input_shape[1] * s, input_shape[2] * s, input_shape[3],
     )
 
     if bench:
-        report["latency"] = latency_bench(model.apply, params, x)
+        report["latency"] = latency_bench(model.apply, variables, x)
         report["memory"] = memory_stats()
 
     report["verdict"] = bool(

@@ -51,10 +51,15 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_schedule(cfg: Config, steps_per_epoch: int) -> optax.Schedule:
-    warmup = max(1, cfg.warmup_epochs * steps_per_epoch)
+    # Reference recipe (train.py:109-124): warmup = min(5, epochs // 10)
+    # epochs of LinearLR from lr*0.01, then cosine to 1e-6.
+    warmup_epochs = cfg.warmup_epochs
+    if warmup_epochs is None:
+        warmup_epochs = min(5, cfg.epochs // 10)
+    warmup = max(1, warmup_epochs * steps_per_epoch)
     total = max(warmup + 1, cfg.epochs * steps_per_epoch)
     return optax.warmup_cosine_decay_schedule(
-        init_value=cfg.lr / 10.0,
+        init_value=cfg.lr * 0.01,
         peak_value=cfg.lr,
         warmup_steps=warmup,
         decay_steps=total,

@@ -31,7 +31,9 @@ def views_to_rgb_uint8(sr_views: np.ndarray, sr_cbcr: np.ndarray, ang: int) -> n
     cb = sr_cbcr.reshape(ang, h, ang, w, 2).transpose(0, 2, 1, 3, 4)
     ycc = np.concatenate([np.asarray(sr_views)[..., None], cb], axis=-1)
     rgb = np.clip(ycbcr2rgb(ycc.astype(np.float64)), 0, 1)
-    return np.around(rgb * 255).astype(np.uint8)
+    # Truncation (not rounding) matches the reference byte-for-byte:
+    # (ycbcr2rgb(...).clip(0,1)*255).astype('uint8') at train.py:333.
+    return (rgb * 255).astype(np.uint8)
 
 
 def main(cfg, ckpt_path: str | None = None, save_views: bool = True):

@@ -24,7 +24,8 @@ from lfsr_tpu.train.evaluate import evaluate_sets
 from lfsr_tpu.utils import Logger, MetricSheet, create_dirs
 
 
-def main(cfg, eval_every: int = 5):
+def main(cfg):
+    eval_every = cfg.eval_every
     log_dir, ckpt_dir, results_dir = create_dirs(cfg)
     log = Logger(log_dir, cfg.model_name)
     log(f"devices: {jax.devices()}")
