@@ -167,9 +167,9 @@ class _V5Core(nn.Module):
         xin = xin.astype(dt)
 
         shallow = conv(c, 3, padding=1, dtype=dt, name="shallow")(xin)
-        enh = lrelu(conv(c, 1, use_bias=False, dtype=dt)(
-            conv(c, 3, padding=1, groups=c, use_bias=False, dtype=dt)(shallow)
-        ))
+        # LocalPixelEnhancement (V5:530-549): x + pw(act(dw(x)))
+        enh = conv(c, 3, padding=1, groups=c, use_bias=False, dtype=dt, name="enh_dw")(shallow)
+        enh = conv(c, 1, use_bias=False, dtype=dt, name="enh_pw")(lrelu(enh))
         shallow = shallow + enh
 
         feat = shallow

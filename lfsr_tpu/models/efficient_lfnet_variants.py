@@ -8,21 +8,17 @@ docstrings of each reference file state the deltas). Rather than duplicate
 near-identical architectures, each version registers here as a documented
 configuration of the closest implemented architecture:
 
-- V4.5 (MyEfficientLFNetV4_5.py: 64ch x 8 MambaLF blocks, early/late
-  fusion, production default of train.sh) -> the V5 architecture with
-  {channels 64, n_blocks 8, expand 2.0}.
 - V6   (MyEfficientLFNetV6.py: 56ch x 8 LF-VSSM, d_state 24)
 - V6.1 (V6_1.py: audit — d_state 24->16, expand 1.5->1.25, 2-way scan)
 - V6.3 (V6_3.py: the FLOPs-rescued V6.2 — depthwise-separable upsampler,
   CASAI/degradation/semantic/spectral heads == V6.4's stage list)
 - V6.5 (V6_5.py: 72ch x 10 blocks, d_state 24)
-- V6.6 (V6_6.py: unfrozen A_log/D + SRACM; grouped cross-scan)
-  -> all map onto the V64 architecture with the stated knobs.
-- V7   (MyEfficientLFNetV7.py: 72ch x 10, d_state 24, grouped 4-way
-  cross-scan + 3-stage staged fusion) -> the flagship LFMambaX
-  architecture with {channels 72, phases (4,3,3) without window
-  attention} is the closest superset; registered on V64 with V7 knobs
-  plus the V8-style composite loss the file prescribes.
+  -> maps onto the V64 architecture with the stated knobs.
+
+V6.6 and V7 are full architectures in efficient_lfnet_v7.py (grouped
+4-way cross-scan, DCT spectral attention, staged fusion, edge-aware
+reconstruction) — no longer aliases. V4.5 is a full architecture in
+efficient_lfnet_v4_5.py.
 
 Differences that are NOT reproduced are noted per entry; exact param
 parity is not claimed for these aliases (the reference publishes only
@@ -31,12 +27,9 @@ approximate counts for them).
 
 from __future__ import annotations
 
-import flax.linen as nn
-
 from lfsr_tpu.config import Config
 from lfsr_tpu.models import losses
-from lfsr_tpu.models.registry import register_model, _REGISTRY, ModelSpec
-from lfsr_tpu.models.efficient_lfnet_v5 import EfficientLFNetV5, charbonnier_fft_builder
+from lfsr_tpu.models.registry import _REGISTRY, ModelSpec
 from lfsr_tpu.models.efficient_lfnet_v64 import EfficientLFNetV64
 
 
@@ -50,12 +43,6 @@ def _variant(name: str, base_cls, defaults: dict, loss_builder):
     _REGISTRY[name] = ModelSpec(name=name, build=build, build_loss=loss_builder)
 
 
-_variant(
-    "EfficientLFNetV4_5",
-    EfficientLFNetV5,
-    {"channels": 64, "n_blocks": 8, "expand": 2.0, "d_state": 16},
-    charbonnier_fft_builder,
-)
 _variant(
     "EfficientLFNetV6",
     EfficientLFNetV64,
@@ -79,10 +66,4 @@ _variant(
     EfficientLFNetV64,
     {"channels": 72, "n_blocks": 10, "d_state": 24, "expand": 1.25},
     losses.composite_v64_builder,
-)
-_variant(
-    "EfficientLFNetV7",
-    EfficientLFNetV64,
-    {"channels": 72, "n_blocks": 10, "d_state": 24, "expand": 1.25},
-    losses.composite_v8_builder,
 )

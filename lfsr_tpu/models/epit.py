@@ -91,11 +91,14 @@ class _EPITransformer(nn.Module):
 
 
 class _ViewConv3(nn.Module):
-    """Shared 3-layer per-view conv (the reference's (1,3,3) Conv3d stack,
-    EPIT.py:139-145): a 2-D conv applied independently to every view."""
+    """Shared 3-layer per-view conv (the reference's (1,3,3) Conv3d stack):
+    a 2-D conv applied independently to every view. The stem stack ends
+    with a LeakyReLU (conv_init, EPIT.py:26-33) while the AltFilter stack
+    does not (EPIT.py:139-145) — hence ``final_act``."""
 
     feats: int
     dtype: jnp.dtype
+    final_act: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -105,6 +108,8 @@ class _ViewConv3(nn.Module):
         y = lrelu02(conv(self.feats, 3, padding=1, use_bias=False, dtype=self.dtype)(y))
         y = lrelu02(conv(self.feats, 3, padding=1, use_bias=False, dtype=self.dtype)(y))
         y = conv(self.feats, 3, padding=1, use_bias=False, dtype=self.dtype)(y)
+        if self.final_act:
+            y = lrelu02(y)
         return y.reshape(b, n, h, w, c)
 
 
@@ -162,7 +167,7 @@ class EPIT(nn.Module):
         stem_in = views.reshape(b * u * vv, h, w, 1)
         y = conv(feats, 3, padding=1, use_bias=False, dtype=dt)(stem_in)
         y = y.reshape(b, u * vv, h, w, feats)
-        y = _ViewConv3(feats, dt)(y) + y
+        y = _ViewConv3(feats, dt, final_act=True)(y) + y
         y = y.reshape(b, u, vv, h, w, feats)
 
         skip = y

@@ -160,6 +160,42 @@ def angular_consistency_h(sr, hr, ang: int):
     return jnp.mean(jnp.abs(jnp.diff(sv, axis=2) - jnp.diff(hv, axis=2)))
 
 
+def laplacian_l1(sr, hr):
+    """L1 over Laplacian edge responses (MyEfficientLFNetV7.py:864-872)."""
+    k = jnp.array([[0, 1, 0], [1, -4, 1], [0, 1, 0]], jnp.float32).reshape(3, 3, 1, 1)
+
+    def edge(a):
+        return jax.lax.conv_general_dilated(
+            _f32(a), k, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    return jnp.mean(jnp.abs(edge(sr) - edge(hr)))
+
+
+def composite_v7_builder(cfg: Config):
+    """Charbonnier(1e-6) + 0.1 FFT + 0.01 Sobel-gradient L1 + 0.005
+    Laplacian edge + 0.01 dual-axis angular consistency
+    (MyEfficientLFNetV7.py:828-905 weights)."""
+    ang = cfg.angRes
+    eps = cfg.mk("charbonnier_eps", 1e-6)
+    wf = cfg.mk("fft_weight", 0.1)
+    wg = cfg.mk("grad_weight", 0.01)
+    we = cfg.mk("edge_weight", 0.005)
+    wa = cfg.mk("angular_weight", 0.01)
+
+    def loss(sr, hr):
+        out = charbonnier(sr, hr, eps)
+        out += wf * fft_magnitude_l1(sr, hr)
+        out += wg * gradient_l1(sr, hr)
+        out += we * laplacian_l1(sr, hr)
+        if sr.shape[1] % ang == 0 and sr.shape[2] % ang == 0:
+            out += wa * angular_consistency(sr, hr, ang)
+        return out
+
+    return loss
+
+
 def composite_v64_builder(cfg: Config):
     """Charbonnier(1e-6) + 0.1 FFT + 0.005 gradient variance + 0.01
     horizontal angular consistency (V6_4.py:660-720)."""

@@ -94,7 +94,8 @@ class Mamba(nn.Module):
         L = xc.shape[1]
         on_tpu = jax.default_backend() == "tpu"
         if self.scan_impl == "pallas" and on_tpu and L % 128 == 0:
-            y = selective_scan_fused(xc, delta, A, Bc, Cc, D_skip, 128)
+            chunk = 256 if L % 256 == 0 else 128
+            y = selective_scan_fused(xc, delta, A, Bc, Cc, D_skip, chunk)
         elif L % 256 == 0 and L > 4096:
             # long rasters: bound the [*, D, N] intermediates to one chunk
             from lfsr_tpu.ops.selective_scan import selective_scan_chunked

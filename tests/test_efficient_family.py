@@ -32,6 +32,7 @@ def test_v5_conv_fallback_matches_cloud_pipeline_count():
     assert _params(cfg) == 367_526
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", ["EfficientLFNetV5", "EfficientLFNetV64"])
 def test_family_forward(name):
     cfg = Config(
@@ -46,6 +47,7 @@ def test_family_forward(name):
     assert bool(jnp.all(jnp.isfinite(y)))
 
 
+@pytest.mark.slow
 def test_v5_tta_param_sharing():
     # TTA reuses one core parameter set: identical tree to non-TTA.
     base = Config(

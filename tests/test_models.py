@@ -50,6 +50,7 @@ def test_param_count_matches_published(name, target):
     assert abs(n - target) / target < 1e-3, f"{name}: {n} vs published {target}"
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", sorted(PUBLISHED_PARAMS))
 @pytest.mark.parametrize("scale", [2, 4])
 def test_forward_shape_and_jit(name, scale):

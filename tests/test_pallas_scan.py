@@ -1,6 +1,7 @@
 """Pallas selective scan (interpret mode on CPU) vs the sequential oracle."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -35,6 +36,7 @@ def test_fused_multi_chunk_carry():
     np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_fused_gradient_matches_reference_impl():
     u, delta, A, Bc, Cc, D_ = _mk(B=1, L=128, D=4, N=2)
 

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lfsr_tpu.config import Config
 from lfsr_tpu.models import registry
@@ -43,6 +44,7 @@ def test_repconv_fusion_parity_channel_change():
         np.testing.assert_allclose(np.asarray(ye), np.asarray(yd), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_efficient_lfnet_v2_full_deploy_parity():
     cfg = Config(model_name="EfficientLFNetV2", scale_factor=2, compute_dtype="float32")
     model = registry.get_model(cfg)

@@ -26,6 +26,7 @@ def small_expectations(monkeypatch):
     monkeypatch.setattr(submission, "EXPECTED_SCENES", {"Real": 2, "Synth": 2})
 
 
+@pytest.mark.slow
 def test_valid_submission_directory(tmp_path, small_expectations):
     _build(tmp_path)
     rep = submission.validate_submission(tmp_path)
@@ -33,6 +34,7 @@ def test_valid_submission_directory(tmp_path, small_expectations):
     assert rep.checks > 100  # header-checked every view
 
 
+@pytest.mark.slow
 def test_valid_submission_zip(tmp_path, small_expectations):
     _build(tmp_path)
     z = submission.pack_submission(tmp_path, tmp_path / "sub.zip")
@@ -40,12 +42,14 @@ def test_valid_submission_zip(tmp_path, small_expectations):
     assert rep.ok, rep.errors
 
 
+@pytest.mark.slow
 def test_missing_scene_flagged(tmp_path, small_expectations):
     _build(tmp_path, n_real=1)
     rep = submission.validate_submission(tmp_path)
     assert any("1 scenes, expected 2" in e for e in rep.errors)
 
 
+@pytest.mark.slow
 def test_missing_view_flagged(tmp_path, small_expectations):
     _build(tmp_path)
     (tmp_path / "Real" / "scene_00" / "View_2_3.bmp").unlink()
@@ -53,6 +57,7 @@ def test_missing_view_flagged(tmp_path, small_expectations):
     assert any("missing views" in e for e in rep.errors)
 
 
+@pytest.mark.slow
 def test_wrong_dims_flagged(tmp_path, small_expectations):
     _build(tmp_path, real_dims=(100, 100))
     rep = submission.validate_submission(tmp_path)

@@ -1,0 +1,436 @@
+"""Weight-transfer forward-parity vs the reference torch models.
+
+For each covered model we build the reference torch module on CPU, copy
+its state_dict into the flax params (explicit per-layer mapping), and
+assert outputs match on random inputs. This is numerics parity, not just
+structure parity — any padding convention, layout, or init mismatch in
+the flax re-implementation fails here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lfsr_tpu.config import Config
+from lfsr_tpu.models import registry
+
+from tests._torch_ref import (
+    a,
+    fill,
+    load_ref_model,
+    max_abs_diff,
+    ref_args,
+    t_conv,
+    t_conv3d,
+    t_linear,
+)
+
+pytestmark = pytest.mark.slow
+
+ANG = 5
+
+
+def _rand_sai(h0=8, scale=4, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.random((1, ANG * h0, ANG * h0, 1)).astype(np.float32)
+    return x
+
+
+def _run_pair(name_flax, torch_model, mapper, x, scale=4, model_kwargs=None, atol=2e-5):
+    import torch
+
+    cfg = Config(
+        model_name=name_flax,
+        scale_factor=scale,
+        compute_dtype="float32",
+        model_kwargs=model_kwargs or {},
+    )
+    model = registry.get_model(cfg)
+    variables = model.init(jax.random.key(0), jnp.asarray(x))
+    sd = torch_model.state_dict()
+    mapped = mapper(sd)
+    if "params" not in mapped:
+        mapped = {"params": mapped}
+    assert set(variables) == set(mapped), (list(variables), list(mapped))
+    filled = {k: fill(variables[k], mapped[k]) for k in variables}
+
+    y_flax = np.asarray(jax.jit(model.apply)(filled, jnp.asarray(x)))
+    with torch.no_grad():
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        y_torch = torch_model(xt, [ANG, ANG]).numpy().transpose(0, 2, 3, 1)
+    diff = max_abs_diff(y_flax, y_torch)
+    assert diff < atol, f"{name_flax}: max |flax - torch| = {diff}"
+    return diff
+
+
+# --------------------------------------------------------------------------
+# DistgSSR (DistgSSR.py:14-131)
+# --------------------------------------------------------------------------
+
+def _map_distg(sd):
+    P = {"Conv_0": {"kernel": t_conv(sd["init_conv.weight"])}}
+    for g in range(4):
+        G = {}
+        for b in range(4):
+            pre = f"disentg.Group.{g}.Block.{b}."
+            G[f"_DisentgBlock_{b}"] = {
+                "Conv_0": {"kernel": t_conv(sd[pre + "SpaConv.0.weight"])},
+                "Conv_1": {"kernel": t_conv(sd[pre + "SpaConv.2.weight"])},
+                "Conv_2": {"kernel": t_conv(sd[pre + "AngConv.0.weight"])},
+                "Conv_3": {"kernel": t_conv(sd[pre + "AngConv.2.weight"])},
+                "_EPIBranch_0": {
+                    "Conv_0": {"kernel": t_conv(sd[pre + "EPIConv.0.weight"])},
+                    "Conv_1": {"kernel": t_conv(sd[pre + "EPIConv.2.weight"])},
+                },
+                "Conv_4": {"kernel": t_conv(sd[pre + "fuse.0.weight"])},
+                "Conv_5": {"kernel": t_conv(sd[pre + "fuse.2.weight"])},
+            }
+        G["Conv_0"] = {"kernel": t_conv(sd[f"disentg.Group.{g}.conv.weight"])}
+        P[f"_Group_{g}"] = G
+    P["Conv_1"] = {"kernel": t_conv(sd["disentg.conv.weight"])}
+    P["Conv_2"] = {
+        "kernel": t_conv(sd["upsample.0.weight"]),
+        "bias": a(sd["upsample.0.bias"]),
+    }
+    P["Conv_3"] = {"kernel": t_conv(sd["upsample.2.weight"])}
+    return P
+
+
+def test_distg_ssr_forward_parity():
+    tm = load_ref_model("DistgSSR", ref_args(scale_factor=4))
+    _run_pair("DistgSSR", tm, _map_distg, _rand_sai())
+
+
+# --------------------------------------------------------------------------
+# LF_InterNet (LF_InterNet.py:15-141)
+# --------------------------------------------------------------------------
+
+def _map_internet(sd):
+    P = {
+        "Conv_0": {"kernel": t_conv(sd["AngFE.0.weight"])},
+        "Conv_1": {"kernel": t_conv(sd["SpaFE.0.weight"])},
+    }
+    k = 0
+    for g in range(4):
+        for b in range(4):
+            pre = f"CascadeInterBlock.body.{g}.chained_layers.{b}."
+            P[f"_InterChain_{k}"] = {
+                "Conv_0": {"kernel": t_conv(sd[pre + "Spa2Ang.weight"])},
+                "_Ang2Spa_0": {
+                    "Conv_0": {"kernel": t_conv(sd[pre + "Ang2Spa.0.weight"])}
+                },
+                "Conv_1": {"kernel": t_conv(sd[pre + "AngConvSq.weight"])},
+                "Conv_2": {"kernel": t_conv(sd[pre + "SpaConvSq.weight"])},
+            }
+            k += 1
+    P["Conv_2"] = {"kernel": t_conv(sd["BottleNeck.AngBottle.weight"])}
+    P["_Ang2Spa_0"] = {
+        "Conv_0": {"kernel": t_conv(sd["BottleNeck.Ang2Spa.0.weight"])}
+    }
+    P["Conv_3"] = {"kernel": t_conv(sd["BottleNeck.SpaBottle.weight"])}
+    P["Conv_4"] = {"kernel": t_conv(sd["ReconBlock.PreConv.weight"])}
+    P["Conv_5"] = {"kernel": t_conv(sd["ReconBlock.FinalConv.weight"])}
+    return P
+
+
+def test_lf_internet_forward_parity():
+    tm = load_ref_model("LF_InterNet", ref_args(scale_factor=4))
+    _run_pair("LF_InterNet", tm, _map_internet, _rand_sai(seed=1))
+
+
+# --------------------------------------------------------------------------
+# EPIT (EPIT.py:16-169)
+# --------------------------------------------------------------------------
+
+def _conv3d_as_2d(w):
+    """Reference (1,3,3) Conv3d weight [O,I,1,3,3] -> flax 2-D [3,3,I,O]."""
+    return t_conv(w.squeeze(2))
+
+
+def _map_epit(sd):
+    def ln(pre):
+        return {"scale": a(sd[pre + "weight"]), "bias": a(sd[pre + "bias"])}
+
+    def viewconv3(pre):
+        return {
+            f"Conv_{i}": {"kernel": _conv3d_as_2d(sd[f"{pre}{2 * i}.weight"])}
+            for i in range(3)
+        }
+
+    P = {
+        "Conv_0": {"kernel": _conv3d_as_2d(sd["conv_init0.0.weight"])},
+        "_ViewConv3_0": viewconv3("conv_init."),
+    }
+    for i in range(5):
+        pre = f"altblock.{i}.epi_trans."
+        inw = a(sd[pre + "attention.in_proj_weight"])  # [3d, d]
+        d = inw.shape[1]
+        P[f"_AltFilter_{i}"] = {
+            "_EPITransformer_0": {
+                "Dense_0": {"kernel": t_linear(sd[pre + "linear_in.weight"])},
+                "LayerNorm_0": ln(pre + "norm."),
+                "Dense_1": {"kernel": inw[:d].T},
+                "Dense_2": {"kernel": inw[d : 2 * d].T},
+                "Dense_3": {"kernel": inw[2 * d :].T},
+                "Dense_4": {"kernel": t_linear(sd[pre + "attention.out_proj.weight"])},
+                "LayerNorm_1": ln(pre + "feed_forward.0."),
+                "Dense_5": {"kernel": t_linear(sd[pre + "feed_forward.1.weight"])},
+                "Dense_6": {"kernel": t_linear(sd[pre + "feed_forward.4.weight"])},
+                "Dense_7": {"kernel": t_linear(sd[pre + "linear_out.weight"])},
+            },
+            "_ViewConv3_0": viewconv3(f"altblock.{i}.conv."),
+        }
+    P["Conv_1"] = {"kernel": t_conv(sd["upsampling.0.weight"])}
+    P["Conv_2"] = {"kernel": t_conv(sd["upsampling.3.weight"])}
+    return P
+
+
+def test_epit_forward_parity():
+    tm = load_ref_model("EPIT", ref_args(scale_factor=4))
+    _run_pair("EPIT", tm, _map_epit, _rand_sai(seed=2), atol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# LFT (LFT.py:19-260)
+# --------------------------------------------------------------------------
+
+def _map_mha(sd, pre):
+    """torch {norm, MultiheadAttention, feed_forward} -> our _MHA tree."""
+
+    def ln(p):
+        return {"scale": a(sd[p + "weight"]), "bias": a(sd[p + "bias"])}
+
+    inw = a(sd[pre + "attention.in_proj_weight"])
+    d = inw.shape[1]
+    return {
+        "LayerNorm_0": ln(pre + "norm."),
+        "Dense_0": {"kernel": inw[:d].T},
+        "Dense_1": {"kernel": inw[d : 2 * d].T},
+        "Dense_2": {"kernel": inw[2 * d :].T},
+        "Dense_3": {"kernel": t_linear(sd[pre + "attention.out_proj.weight"])},
+        "LayerNorm_1": ln(pre + "feed_forward.0."),
+        "Dense_4": {"kernel": t_linear(sd[pre + "feed_forward.1.weight"])},
+        "Dense_5": {"kernel": t_linear(sd[pre + "feed_forward.4.weight"])},
+    }
+
+
+def _map_lft(sd):
+    P = {
+        "Conv_0": {"kernel": _conv3d_as_2d(sd["conv_init0.0.weight"])},
+        "_ViewConv3Act_0": {
+            f"Conv_{i}": {"kernel": _conv3d_as_2d(sd[f"conv_init.{2 * i}.weight"])}
+            for i in range(3)
+        },
+    }
+    for i in range(4):
+        P[f"_AngTrans_{i}"] = {"_MHA_0": _map_mha(sd, f"altblock.{i}.ang_trans.")}
+        pre = f"altblock.{i}.spa_trans."
+        # torch F.unfold token layout is channel-major (c*9 + k); our
+        # _unfold3 is kernel-major (k*C + c) -> permute the MLP kernel.
+        mlp = a(sd[pre + "MLP.weight"])  # [spa_dim, C*9]
+        spa_dim = mlp.shape[0]
+        c = mlp.shape[1] // 9
+        mlp_kcm = mlp.reshape(spa_dim, c, 9).transpose(2, 1, 0).reshape(9 * c, spa_dim)
+        P[f"_SpaTrans_{i}"] = {
+            "embed": {"kernel": mlp_kcm},
+            "_MHA_0": _map_mha(sd, pre),
+            "Dense_0": {
+                "kernel": t_linear(sd[pre + "linear.0.weight"].squeeze(-1).squeeze(-1).squeeze(-1))
+            },
+        }
+    P["Conv_1"] = {"kernel": t_conv(sd["upsampling.0.weight"])}
+    P["Conv_2"] = {"kernel": t_conv(sd["upsampling.3.weight"])}
+    return P
+
+
+def test_lft_forward_parity():
+    tm = load_ref_model("LFT", ref_args(scale_factor=4))
+    _run_pair("LFT", tm, _map_lft, _rand_sai(seed=3), atol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# EfficientLFNetV5 with the FastConvSSM fallback (MyEfficientLFNetV5.py;
+# mamba_ssm is absent in this environment so the reference itself takes
+# the FastConvSSM path, :71-99)
+# --------------------------------------------------------------------------
+
+def _map_v5(sd):
+    def ln(p):
+        return {"scale": a(sd[p + "weight"]), "bias": a(sd[p + "bias"])}
+
+    def cw(p):
+        return {"kernel": t_conv(sd[p + ".weight"])}
+
+    core = {
+        "shallow": {
+            "kernel": t_conv(sd["shallow_conv.weight"]),
+            "bias": a(sd["shallow_conv.bias"]),
+        },
+        "enh_dw": cw("shallow_enhance.dw"),
+        "enh_pw": cw("shallow_enhance.pw"),
+    }
+    for i in range(6):
+        pre = f"lf_vssm_blocks.{i}."
+        g = pre + "global_branch."
+        # dir_fuse input order: reference is [raster, vertical, raster_rev,
+        # vertical_rev] (V5:427-441); ours is [raster, raster_rev,
+        # vertical, vertical_rev] -> permute input-channel blocks.
+        df = t_conv(sd[g + "dir_fuse.weight"])  # [1,1,4C,C]
+        c = df.shape[-1]
+        blocks = df.reshape(1, 1, 4, c, c)
+        df_ours = blocks[:, :, [0, 2, 1, 3]].reshape(1, 1, 4 * c, c)
+        core[f"block_{i}"] = {
+            "_MultiScale1357_0": {
+                "Conv_0": cw(pre + "local_branch.dw1"),
+                "Conv_1": cw(pre + "local_branch.dw3"),
+                "Conv_2": cw(pre + "local_branch.dw5"),
+                "Conv_3": cw(pre + "local_branch.dw7"),
+                "Conv_4": cw(pre + "local_branch.pw"),
+            },
+            "CrossScan4_0": {
+                "LayerNorm_0": ln(g + "norm."),
+                "ssm": {
+                    "Dense_0": {
+                        "kernel": t_linear(sd[g + "mamba.proj_in.weight"]),
+                        "bias": a(sd[g + "mamba.proj_in.bias"]),
+                    },
+                    "conv_kernel": a(sd[g + "mamba.conv.weight"]).transpose(2, 1, 0),
+                    "conv_bias": a(sd[g + "mamba.conv.bias"]),
+                    "Dense_1": {
+                        "kernel": t_linear(sd[g + "mamba.proj_out.weight"]),
+                        "bias": a(sd[g + "mamba.proj_out.bias"]),
+                    },
+                },
+                "Conv_0": {"kernel": df_ours},
+                "scale": a(sd[g + "scale"]),
+            },
+            "Conv_0": cw(pre + "fuse"),
+            "LayerNorm_0": ln(pre + "fuse_norm."),
+            "ECA_0": {
+                "Conv_0": {
+                    "kernel": t_conv(sd[pre + "attention.fc1.weight"]),
+                    "bias": a(sd[pre + "attention.fc1.bias"]),
+                },
+                "Conv_1": {
+                    "kernel": t_conv(sd[pre + "attention.fc2.weight"]),
+                    "bias": a(sd[pre + "attention.fc2.bias"]),
+                },
+            },
+            "res_scale": a(sd[pre + "res_scale"]),
+        }
+    core.update(
+        {
+            "Conv_0": cw("fuse_early"),
+            "Conv_1": cw("fuse_late"),
+            "Conv_2": cw("fuse_final"),
+            "LayerNorm_0": ln("fuse_norm."),
+            "Conv_3": cw("refine_conv"),
+            "Conv_4": cw("upsampler.up.0"),
+            "Conv_5": cw("upsampler.up.3"),
+            "out": {
+                "kernel": t_conv(sd["output_conv.weight"]),
+                "bias": a(sd["output_conv.bias"]),
+            },
+            "out_scale": a(sd["output_scale"]),
+        }
+    )
+    return {"core": core}
+
+
+# --------------------------------------------------------------------------
+# EfficientLFNetV4_5 with its FastConvSSM path (MyEfficientLFNetV4_5.py;
+# the torch file itself falls back to FastConvSSM here since mamba_ssm is
+# absent, :208-244). Exercises BatchNorm (params + batch_stats transfer).
+# --------------------------------------------------------------------------
+
+def _map_v4_5(sd):
+    def cw(p):
+        return {"kernel": t_conv(sd[p + ".weight"])}
+
+    def bn(p):
+        return (
+            {"scale": a(sd[p + ".weight"]), "bias": a(sd[p + ".bias"])},
+            {"mean": a(sd[p + ".running_mean"]), "var": a(sd[p + ".running_var"])},
+        )
+
+    P, S = {}, {}
+    P["shallow"] = cw("shallow.0")
+    P["Conv_0"] = cw("shallow.2.dw")
+    P["BatchNorm_0"], S["BatchNorm_0"] = bn("shallow.2.bn")
+    P["Conv_1"] = cw("shallow.2.pw")
+    for i in range(8):
+        pre = f"blocks.{i}."
+        ms_p, ms_s = bn(pre + "ms_spatial.bn")
+        ssm_p, ssm_s = bn(pre + "ssm.norm")
+        P[f"block_{i}"] = {
+            "MultiScaleSpatial_0": {
+                "Conv_0": cw(pre + "ms_spatial.conv1"),
+                "Conv_1": cw(pre + "ms_spatial.conv3"),
+                "Conv_2": cw(pre + "ms_spatial.conv5"),
+                "Conv_3": cw(pre + "ms_spatial.conv7"),
+                "Conv_4": cw(pre + "ms_spatial.pw"),
+                "BatchNorm_0": ms_p,
+            },
+            "V45FastConvSSM_0": {
+                "BatchNorm_0": ssm_p,
+                "Conv_0": cw(pre + "ssm.gate_conv"),
+                "Conv_1": cw(pre + "ssm.conv1"),
+                "Conv_2": cw(pre + "ssm.conv2"),
+                "Conv_3": cw(pre + "ssm.conv4"),
+                "Conv_4": cw(pre + "ssm.conv8"),
+                "Conv_5": cw(pre + "ssm.fuse"),
+                "Conv_6": cw(pre + "ssm.proj"),
+                "scale": a(sd[pre + "ssm.scale"]),
+            },
+            "Conv_0": cw(pre + "fuse"),
+            "ECA_0": {
+                "Conv_0": {
+                    "kernel": t_conv(sd[pre + "ca.fc1.weight"]),
+                    "bias": a(sd[pre + "ca.fc1.bias"]),
+                },
+                "Conv_1": {
+                    "kernel": t_conv(sd[pre + "ca.fc2.weight"]),
+                    "bias": a(sd[pre + "ca.fc2.bias"]),
+                },
+            },
+        }
+        S[f"block_{i}"] = {
+            "MultiScaleSpatial_0": {"BatchNorm_0": ms_s},
+            "V45FastConvSSM_0": {"BatchNorm_0": ssm_s},
+        }
+    P["Conv_2"] = cw("fuse_early")
+    P["Conv_3"] = cw("fuse_late")
+    P["Conv_4"] = cw("fuse_final")
+    P["Conv_5"] = cw("refine")
+    P["Conv_6"] = cw("upsampler.up.0")
+    P["Conv_7"] = cw("upsampler.up.3")
+    P["out"] = {"kernel": t_conv(sd["output.weight"]), "bias": a(sd["output.bias"])}
+    return {"params": P, "batch_stats": S}
+
+
+def test_v4_5_fastconvssm_forward_parity():
+    tm = load_ref_model("MyEfficientLFNetV4_5", ref_args(scale_factor=4, use_macpi=False))
+    _run_pair(
+        "EfficientLFNetV4_5",
+        tm,
+        _map_v4_5,
+        _rand_sai(seed=5),
+        model_kwargs={"ssm_impl": "conv"},
+        atol=1e-4,
+    )
+
+
+def test_v5_fastconvssm_forward_parity():
+    tm = load_ref_model("MyEfficientLFNetV5", ref_args(scale_factor=4))
+    _run_pair(
+        "EfficientLFNetV5",
+        tm,
+        _map_v5,
+        _rand_sai(seed=4),
+        model_kwargs={"ssm_impl": "conv", "use_tta": False},
+        atol=1e-4,
+    )

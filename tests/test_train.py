@@ -53,6 +53,7 @@ def test_train_loss_decreases(tmp_path):
     assert m1["loss"] < m0["loss"], (m0, m1)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     cfg = _cfg()
     data = _synthetic_data(8)

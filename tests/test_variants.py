@@ -14,11 +14,13 @@ VARIANTS = [
     "EfficientLFNetV3",
     "EfficientLFNetV4_5",
     "EfficientLFNetV6_1",
+    "EfficientLFNetV6_6",
     "EfficientLFNetV7",
     "LF_DFnet",
 ]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", VARIANTS)
 def test_variant_forward(name):
     cfg = Config(
@@ -41,7 +43,23 @@ def test_registry_covers_reference_zoo():
         "MEG_Net", "LF_IINet", "LF_DFnet",
         "EfficientLFNetV2", "EfficientLFNetV3", "EfficientLFNetV4_5",
         "EfficientLFNetV5", "EfficientLFNetV6", "EfficientLFNetV6_1",
-        "EfficientLFNetV6_3", "EfficientLFNetV6_5", "EfficientLFNetV64",
-        "EfficientLFNetV7", "LFMambaX",
+        "EfficientLFNetV6_3", "EfficientLFNetV6_5", "EfficientLFNetV6_6",
+        "EfficientLFNetV64", "EfficientLFNetV7", "LFMambaX",
     }
     assert expected <= set(registry.available())
+
+
+def test_v7_v66_under_track2_budget():
+    """The true V7.1 / V6.6 architectures stay under the 1M param gate
+    (reference docstrings claim ~810K / ~780K; exact counts here)."""
+    import math
+
+    for name, expect in [("EfficientLFNetV7", 763_299), ("EfficientLFNetV6_6", 746_482)]:
+        cfg = Config(model_name=name, scale_factor=4, compute_dtype="float32")
+        model = registry.get_model(cfg)
+        shapes = jax.eval_shape(
+            model.init, jax.random.key(0), jnp.zeros((1, 40, 40, 1), jnp.float32)
+        )
+        n = sum(math.prod(p.shape) for p in jax.tree.leaves(shapes))
+        assert n == expect, (name, n)
+        assert n < 1_000_000
