@@ -117,15 +117,14 @@ def generate_training_patches(
         src = Path(src_root) / ds / "training"
         if not src.is_dir():
             continue
-        idx_scene = 0
+        idx_save = 0  # per-dataset running index from 1, '%06d.h5'
+        # (Generate_Data_for_Training.py:63-84 naming convention)
         for scene in sorted(os.listdir(src)):
             if not scene.endswith(".mat"):
                 continue
             lf = central_crop_views(load_lf_mat(str(src / scene)), ang)
             y = _views_y(lf)  # [U,V,H,W]
             H, W = y.shape[2:]
-            idx_scene += 1
-            cnt = 0
             for hs in range(0, H - patch_hr + 1, stride):
                 for ws in range(0, W - patch_hr + 1, stride):
                     hr = y[:, :, hs : hs + patch_hr, ws : ws + patch_hr]
@@ -140,11 +139,10 @@ def generate_training_patches(
                             for u in range(ang)
                         ]
                     )
-                    cnt += 1
+                    idx_save += 1
                     total += 1
-                    name = f"{scene[:-4]}_{cnt:03d}.h5"
                     _write_h5(
-                        Path(out_root) / tag / ds / name,
+                        Path(out_root) / tag / ds / f"{idx_save:06d}.h5",
                         Lr_SAI_y=views_to_sai_np(lr),
                         Hr_SAI_y=views_to_sai_np(hr),
                     )

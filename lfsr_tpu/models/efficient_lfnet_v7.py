@@ -25,6 +25,12 @@ V7.1 (V7.py:62-260)
   V7.py:692-722).
 - Loss: Charbonnier + FFT + Sobel gradient + Laplacian edge + dual-axis
   angular consistency (V7.py:828-905).
+- Budget note: at the reference geometry (72ch x 10 blocks) this
+  faithful reconstruction measures 20.2 G official-convention MACs at
+  the [1,1,160,160] gate — slightly OVER the 20 G budget. The
+  reference's "~19.2G" claim comes from its conv-only hook estimate
+  (V7.py self-test), which under-counts. Use model_kwargs
+  {'channels': 68} or fewer blocks to clear the gate.
 
 V6.6 (V6_6.py:56-300)
 - MultiScaleDCTSpectralAttention: pooled low-frequency path + depthwise

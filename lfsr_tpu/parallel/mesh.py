@@ -21,7 +21,10 @@ def make_mesh(cfg: Config | None = None, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     shape = (cfg.mesh_shape if cfg and cfg.mesh_shape else (len(devices),))
     names = cfg.mesh_axis_names if cfg else ("data",)
-    arr = np.asarray(devices).reshape(shape)
+    want = int(np.prod(shape))
+    if want > len(devices):
+        raise ValueError(f"mesh_shape {shape} needs {want} devices, have {len(devices)}")
+    arr = np.asarray(devices[:want]).reshape(shape)
     return Mesh(arr, axis_names=names)
 
 

@@ -36,3 +36,43 @@ def test_count_params_breakdown():
     variables = model.init(jax.random.key(0), jnp.zeros((1, 40, 40, 1)))
     total, breakdown = count_params(variables)
     assert total == sum(breakdown.values())
+
+
+def test_fvcore_macs_oracles():
+    """Analytic official-convention counter vs hand-computed MACs."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from lfsr_tpu.models.common import conv
+    from lfsr_tpu.tools.efficiency import fvcore_macs
+
+    m = conv(16, 3, padding=1)
+    x = jnp.zeros((1, 32, 32, 4))
+    p = m.init(jax.random.key(0), x)
+    assert fvcore_macs(m.apply, p, x) == 32 * 32 * 16 * 4 * 9
+
+    d = nn.Dense(7)
+    xd = jnp.zeros((5, 11))
+    assert fvcore_macs(d.apply, d.init(jax.random.key(0), xd), xd) == 5 * 11 * 7
+
+    g = conv(8, 3, padding=1, groups=4)
+    xg = jnp.zeros((1, 16, 16, 8))
+    assert fvcore_macs(g.apply, g.init(jax.random.key(1), xg), xg) == 16 * 16 * 8 * 2 * 9
+
+
+def test_check_efficiency_reports_official_and_honest():
+    from lfsr_tpu.config import Config
+    from lfsr_tpu.tools.efficiency import check_efficiency
+
+    r = check_efficiency(
+        Config(model_name="DistgSSR", scale_factor=4, compute_dtype="float32",
+               model_kwargs={"channels": 16, "n_groups": 1, "n_blocks": 1}),
+        input_shape=(1, 40, 40, 1),
+    )
+    assert r["official_fvcore_macs"] > 0
+    # conv-only model: XLA/2 (MAC convention) should be close to the
+    # official count — elementwise ops are the only divergence
+    assert abs(r["flops_mac_convention"] - r["official_fvcore_macs"]) / r[
+        "official_fvcore_macs"
+    ] < 0.2
