@@ -6,15 +6,13 @@ LR), tiled into 8x8 = 64 overlapping 160x160 SAI patches (patch 32,
 stride 16 in LR view space) — exactly the reference's evaluation geometry
 (option.py:40-46, train.py:286-319).
 
-Two measurements on the SAME device:
-- ``batched``: this framework's path — one jit over the whole patch grid
-  (lf_divide -> lax.map over minibatches -> lf_integrate).
-- ``reference-pattern``: the reference's execution shape — one 160x160
-  patch per dispatch with a host sync after each (train.py:307-313,
-  minibatch_for_test=1 + per-step cache flush). This is the honest
-  vs_baseline denominator available without CUDA hardware.
+``vs_baseline`` is the measured scenes/s divided by the PINNED round-1
+number (0.8103 scenes/s, BENCH_r01.json) so progress across rounds is
+visible — not a same-run comparison that can be gamed by construction.
+Extra keys report patches/s and MFU (XLA-counted forward FLOPs against
+the v5e bf16 peak) for roofline tracking.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
@@ -25,6 +23,10 @@ import time
 
 import numpy as np
 
+# Round-1 measured throughput on one v5e chip — the fixed denominator.
+BASELINE_R01_SCENES_PER_S = 0.8103
+V5E_BF16_PEAK_FLOPS = 197e12
+
 
 def main():
     import jax
@@ -32,51 +34,48 @@ def main():
 
     from lfsr_tpu.config import Config
     from lfsr_tpu.models import registry
-    from lfsr_tpu.ops.tiling import lf_divide
     from lfsr_tpu.train.evaluate import sr_scene
 
     ang, scale, h0 = 5, 4, 128
-    cfg = Config(
-        model_name="LFMambaX", scale_factor=scale, minibatch_for_test=8
-    )
+    cfg = Config(model_name="LFMambaX", scale_factor=scale)
     model = registry.get_model(cfg)
     rng = np.random.default_rng(0)
     # distinct inputs per iteration; on the axon tunnel block_until_ready
     # returns early, so timings queue N executions and fetch the last
-    iters = 5
+    iters = 6
     lrs = [
         jnp.asarray(rng.random((ang * h0, ang * h0)), jnp.float32)
         for _ in range(iters)
     ]
-    params = jax.jit(model.init)(jax.random.key(0), jnp.zeros((1, 160, 160, 1), jnp.float32))
+    params = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1, 160, 160, 1), jnp.float32)
+    )
+
+    # forward FLOPs per patch from XLA cost analysis (honest convention)
+    comp = (
+        jax.jit(model.apply)
+        .lower(params, jnp.zeros((8, 160, 160, 1), jnp.float32))
+        .compile()
+    )
+    ca = comp.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else (ca or {})
+    flops_per_patch = float(ca.get("flops", float("nan"))) / 8
 
     kw = dict(
         ang=ang, scale=scale, patch=cfg.patch_size_for_test,
         stride=cfg.stride_for_test, minibatch=cfg.minibatch_for_test,
         h0=h0, w0=h0,
     )
+    n_patches = 64  # 8x8 grid at this geometry
 
-    # --- batched (ours) ---
     np.asarray(sr_scene(model.apply, params, lrs[0], **kw))  # compile + fetch
     t0 = time.perf_counter()
     outs = [sr_scene(model.apply, params, lrs[i], **kw) for i in range(iters)]
     np.asarray(outs[-1])  # fetch forces completion of the whole queue
-    batched_scene_s = (time.perf_counter() - t0) / iters
-    scenes_per_sec = 1.0 / batched_scene_s
-
-    # --- reference execution pattern: one patch per dispatch
-    # (minibatch_for_test=1, train.py:307-313), same device. Dispatches are
-    # queued and the last is fetched, so this measures unbatched device
-    # time without penalizing the tunnel's per-transfer latency.
-    patches = lf_divide(lrs[0], ang, cfg.patch_size_for_test, cfg.stride_for_test)
-    one = jax.jit(model.apply)
-    np.asarray(one(params, patches[:1][..., None]))
-    n = patches.shape[0]
-    t0 = time.perf_counter()
-    ys = [one(params, patches[i : i + 1][..., None]) for i in range(n)]
-    np.asarray(ys[-1])
-    ref_scene_s = time.perf_counter() - t0
-    ref_scenes_per_sec = 1.0 / ref_scene_s
+    scene_s = (time.perf_counter() - t0) / iters
+    scenes_per_sec = 1.0 / scene_s
+    patches_per_sec = n_patches * scenes_per_sec
+    mfu = patches_per_sec * flops_per_patch / V5E_BF16_PEAK_FLOPS
 
     print(
         json.dumps(
@@ -84,7 +83,11 @@ def main():
                 "metric": "LF scenes/sec/chip (5x5 4x SR, 512x512 HR scene, LFMambaX)",
                 "value": round(scenes_per_sec, 4),
                 "unit": "scenes/s",
-                "vs_baseline": round(scenes_per_sec / ref_scenes_per_sec, 3),
+                "vs_baseline": round(scenes_per_sec / BASELINE_R01_SCENES_PER_S, 3),
+                "patches_per_sec": round(patches_per_sec, 2),
+                "mfu": round(mfu, 4),
+                "flops_per_patch_g": round(flops_per_patch / 1e9, 2),
+                "minibatch_for_test": cfg.minibatch_for_test,
             }
         )
     )

@@ -37,7 +37,7 @@ def main(cfg, ckpt_path=None, out_root="submission", make_zip=True, skip_gate=Fa
             log("efficiency gate FAILED — aborting (use --skip_gate to override)")
             return None
 
-    scenes = load_test_scenes(cfg.path_for_test, cfg.angRes, cfg.scale_factor, cfg.data_name)
+    scenes = load_test_scenes(cfg.path_for_test, cfg.angRes, cfg.scale_factor, cfg.data_name, tag=cfg.task_tag())
     model = registry.get_model(cfg)
     tr = Trainer(cfg, steps_per_epoch=1)
     state = tr.init_state(

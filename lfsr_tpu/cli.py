@@ -14,6 +14,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
     p.add_argument("--task", type=str, default="SR")
     p.add_argument("--angRes", type=int, default=5)
+    p.add_argument("--angRes_out", type=int, default=None,
+                   help="RE task: output angular resolution (e.g. 5 for 2x2->5x5)")
     p.add_argument("--scale_factor", type=int, default=4)
     p.add_argument("--model_name", type=str, default="LFMambaX")
     p.add_argument("--use_pre_ckpt", action="store_true")
@@ -44,6 +46,7 @@ def config_from_args(args) -> Config:
     return Config(
         task=args.task,
         angRes=args.angRes,
+        angRes_out_re=args.angRes_out,
         scale_factor=args.scale_factor,
         model_name=args.model_name,
         model_kwargs=json.loads(args.model_kwargs),

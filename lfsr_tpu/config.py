@@ -19,8 +19,10 @@ from typing import Any, Mapping, Optional, Tuple
 @dataclasses.dataclass(frozen=True)
 class Config:
     # Task ------------------------------------------------------------------
-    task: str = "SR"
-    angRes: int = 5
+    task: str = "SR"  # 'SR' (spatial) or 'RE' (angular reconstruction)
+    angRes: int = 5   # input angular resolution (angRes_in)
+    # RE task only: output angular resolution (option.py task='RE' path)
+    angRes_out_re: Optional[int] = None
     scale_factor: int = 4
 
     # Model -----------------------------------------------------------------
@@ -73,6 +75,8 @@ class Config:
 
     @property
     def angRes_out(self) -> int:
+        if self.task == "RE" and self.angRes_out_re:
+            return self.angRes_out_re
         return self.angRes
 
     def mk(self, key: str, default: Any) -> Any:
@@ -83,5 +87,11 @@ class Config:
         return dataclasses.replace(self, **kw)
 
     def task_tag(self) -> str:
-        """Directory tag, e.g. 'SR_5x5_4x' (utils/utils.py:59-78 schema)."""
+        """Directory tag, e.g. 'SR_5x5_4x' or 'RE_2x2_5x5'
+        (utils/utils.py:59-78, utils_datasets.py:20-27 schema)."""
+        if self.task == "RE":
+            return (
+                f"RE_{self.angRes}x{self.angRes}_"
+                f"{self.angRes_out}x{self.angRes_out}"
+            )
         return f"{self.task}_{self.angRes}x{self.angRes}_{self.scale_factor}x"

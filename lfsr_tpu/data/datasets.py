@@ -39,12 +39,14 @@ class TestScene:
     sr_cbcr: np.ndarray  # [A*H, A*W, 2]
 
 
-def _dataset_dir(root: str, ang: int, scale: int) -> Path:
-    return Path(root) / f"SR_{ang}x{ang}_{scale}x"
+def _dataset_dir(root: str, ang: int, scale: int, tag: str | None = None) -> Path:
+    """Task directory: 'SR_AxA_sx' by default, or an explicit tag such as
+    'RE_2x2_5x5' (utils_datasets.py:20-27)."""
+    return Path(root) / (tag or f"SR_{ang}x{ang}_{scale}x")
 
 
-def list_train_files(root: str, ang: int, scale: int, data_name: str = "ALL"):
-    base = _dataset_dir(root, ang, scale)
+def list_train_files(root: str, ang: int, scale: int, data_name: str = "ALL", tag: str | None = None):
+    base = _dataset_dir(root, ang, scale, tag)
     names = sorted(os.listdir(base)) if data_name == "ALL" else [data_name]
     files = []
     for ds in names:
@@ -54,7 +56,7 @@ def list_train_files(root: str, ang: int, scale: int, data_name: str = "ALL"):
     return files
 
 
-def load_train_set(root: str, ang: int, scale: int, data_name: str = "ALL") -> TrainArrays:
+def load_train_set(root: str, ang: int, scale: int, data_name: str = "ALL", tag: str | None = None) -> TrainArrays:
     """Read every training h5 once into stacked arrays.
 
     h5 arrays are stored transposed (MATLAB column-major); the reference's
@@ -63,7 +65,7 @@ def load_train_set(root: str, ang: int, scale: int, data_name: str = "ALL") -> T
     augmentation's transpose makes orientation irrelevant for training).
     We transpose to row-major for consistency with the test loader.
     """
-    files = list_train_files(root, ang, scale, data_name)
+    files = list_train_files(root, ang, scale, data_name, tag)
     lrs, hrs = [], []
     for f in files:
         with h5py.File(f, "r") as hf:
@@ -74,9 +76,9 @@ def load_train_set(root: str, ang: int, scale: int, data_name: str = "ALL") -> T
     return TrainArrays(lr=np.stack(lrs), hr=np.stack(hrs))
 
 
-def load_test_scenes(root: str, ang: int, scale: int, data_name: str = "ALL"):
+def load_test_scenes(root: str, ang: int, scale: int, data_name: str = "ALL", tag: str | None = None):
     """Per-dataset lists of whole test scenes (utils_datasets.py:61-139)."""
-    base = _dataset_dir(root, ang, scale)
+    base = _dataset_dir(root, ang, scale, tag)
     names = sorted(os.listdir(base)) if data_name == "ALL" else [data_name]
     out: dict[str, list[TestScene]] = {}
     for ds in names:

@@ -25,7 +25,9 @@ from lfsr_tpu.ops.tiling import lf_divide, lf_integrate, tile_counts
 
 @partial(
     jax.jit,
-    static_argnames=("apply_fn", "ang", "scale", "patch", "stride", "minibatch", "h0", "w0"),
+    static_argnames=(
+        "apply_fn", "ang", "scale", "patch", "stride", "minibatch", "h0", "w0", "ang_out",
+    ),
 )
 def sr_scene(
     apply_fn: Callable,
@@ -39,8 +41,13 @@ def sr_scene(
     minibatch: int,
     h0: int,
     w0: int,
+    ang_out: int | None = None,
 ) -> jnp.ndarray:
-    """Super-resolve one whole scene. Returns SR views [A, A, h0*s, w0*s]."""
+    """Super-resolve one whole scene. Returns SR views
+    [A_out, A_out, h0*s, w0*s]. For the RE (angular reconstruction) task
+    pass scale=1 and ang_out > ang — the model maps [A*p, A*p] SAI
+    patches to [A_out*p, A_out*p]."""
+    ang_out = ang_out or ang
     patches = lf_divide(lr_sai, ang, patch, stride)  # [N, A*p, A*p]
     n = patches.shape[0]
     n_pad = -(-n // minibatch) * minibatch
@@ -51,13 +58,20 @@ def sr_scene(
         return apply_fn(params, chunk[..., None])[..., 0]
 
     sr = jax.lax.map(run, chunks)
-    sr = sr.reshape(n_pad, ang * patch * scale, ang * patch * scale)[:n]
-    return lf_integrate(sr, ang, patch * scale, stride * scale, h0 * scale, w0 * scale)
+    sr = sr.reshape(n_pad, ang_out * patch * scale, ang_out * patch * scale)[:n]
+    return lf_integrate(sr, ang_out, patch * scale, stride * scale, h0 * scale, w0 * scale)
 
 
 def evaluate_scene(apply_fn, params, scene, cfg: Config):
-    """SR + metrics for one TestScene. Returns (psnr, ssim, sr_views)."""
-    ang, s = cfg.angRes, cfg.scale_factor
+    """SR + metrics for one TestScene. Returns (psnr, ssim, sr_views).
+
+    task='RE' evaluates angular reconstruction: spatial scale 1, output
+    angRes_out views, metric protocol excluding the input view positions
+    (utils/utils.py:110-131)."""
+    ang = cfg.angRes
+    re_task = cfg.task == "RE"
+    s = 1 if re_task else cfg.scale_factor
+    ang_out = cfg.angRes_out
     h0 = scene.lr_y.shape[0] // ang
     w0 = scene.lr_y.shape[1] // ang
     sr_views = sr_scene(
@@ -71,11 +85,17 @@ def evaluate_scene(apply_fn, params, scene, cfg: Config):
         minibatch=cfg.minibatch_for_test,
         h0=h0,
         w0=w0,
+        ang_out=ang_out,
     )
     # views -> SAI mosaic for the metric protocol
-    sr_sai = jnp.moveaxis(sr_views, 2, 1).reshape(ang * h0 * s, ang * w0 * s)
-    hr = jnp.asarray(scene.hr_y[: ang * h0 * s, : ang * w0 * s])
-    p, ssim_v = lf_metrics(hr, sr_sai, ang)
+    sr_sai = jnp.moveaxis(sr_views, 2, 1).reshape(ang_out * h0 * s, ang_out * w0 * s)
+    hr = jnp.asarray(scene.hr_y[: ang_out * h0 * s, : ang_out * w0 * s])
+    if re_task:
+        from lfsr_tpu.ops.metrics import lf_metrics_re
+
+        p, ssim_v = lf_metrics_re(hr, sr_sai, ang, ang_out)
+    else:
+        p, ssim_v = lf_metrics(hr, sr_sai, ang)
     return float(p), float(ssim_v), sr_views
 
 

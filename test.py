@@ -40,7 +40,7 @@ def main(cfg, ckpt_path: str | None = None, save_views: bool = True):
     log_dir, ckpt_dir, results_dir = create_dirs(cfg)
     log = Logger(log_dir, cfg.model_name + "_test")
 
-    test_sets = load_test_scenes(cfg.path_for_test, cfg.angRes, cfg.scale_factor, cfg.data_name)
+    test_sets = load_test_scenes(cfg.path_for_test, cfg.angRes, cfg.scale_factor, cfg.data_name, tag=cfg.task_tag())
     model = registry.get_model(cfg)
     tr = Trainer(cfg, steps_per_epoch=1)
     state = tr.init_state(jax.random.key(0), np.zeros((1, cfg.angRes * 32, cfg.angRes * 32, 1), np.float32))

@@ -116,3 +116,42 @@ def test_evaluate_scene_runs():
     p, s, sr = evaluate_scene(model.apply, params, scene, cfg)
     assert sr.shape == (ANG, ANG, h0 * SCALE, h0 * SCALE)
     assert np.isfinite(p) and np.isfinite(s)
+
+
+def test_evaluate_scene_re_task():
+    """RE (angular reconstruction) eval path: 2x2 input views -> 5x5
+    output views at spatial scale 1, metric excluding input positions."""
+    from lfsr_tpu.config import Config
+    from lfsr_tpu.train.evaluate import evaluate_scene
+
+    rng = np.random.default_rng(5)
+    ang_in, ang_out, h0 = 2, 5, 48
+    hr_views = rng.random((ang_out, ang_out, h0, h0)).astype(np.float32)
+    step = (ang_out - 1) // (ang_in - 1)
+    lr_views = hr_views[::step, ::step]
+    lr_sai = np.moveaxis(lr_views, 2, 1).reshape(ang_in * h0, ang_in * h0)
+    hr_sai = np.moveaxis(hr_views, 2, 1).reshape(ang_out * h0, ang_out * h0)
+
+    cfg = Config(task="RE", angRes=ang_in, angRes_out_re=ang_out,
+                 compute_dtype="float32", minibatch_for_test=4)
+    assert cfg.task_tag() == "RE_2x2_5x5"
+
+    class FakeScene:
+        name, dataset = "s", "d"
+        lr_y, hr_y = lr_sai, hr_sai
+        sr_cbcr = None
+
+    # fake "model": replicate the mean input view to all 5x5 positions
+    def apply_fn(params, x):
+        b, H, W, c = x.shape
+        p = H // ang_in
+        views = x.reshape(b, ang_in, p, ang_in, p, c).transpose(0, 1, 3, 2, 4, 5)
+        mean = views.mean(axis=(1, 2), keepdims=True)
+        out = jnp.broadcast_to(mean, (b, ang_out, ang_out, p, p, c))
+        return out.transpose(0, 1, 3, 2, 4, 5).reshape(b, ang_out * p, ang_out * p, c)
+
+    psnr, ssim, sr_views = evaluate_scene(apply_fn, {}, FakeScene, cfg)
+    assert sr_views.shape == (ang_out, ang_out, h0, h0)
+    assert np.isfinite(psnr) and np.isfinite(ssim)
+    # random target: PSNR must be low but positive
+    assert 0 < psnr < 20

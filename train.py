@@ -31,10 +31,10 @@ def main(cfg):
     log(f"devices: {jax.devices()}")
     log(f"config: {cfg}")
 
-    data = load_train_set(cfg.path_for_train, cfg.angRes, cfg.scale_factor, cfg.data_name)
+    data = load_train_set(cfg.path_for_train, cfg.angRes, cfg.scale_factor, cfg.data_name, tag=cfg.task_tag())
     log(f"train items: {len(data)}  LR {data.lr.shape}  HR {data.hr.shape}")
     try:
-        test_sets = load_test_scenes(cfg.path_for_test, cfg.angRes, cfg.scale_factor, cfg.data_name)
+        test_sets = load_test_scenes(cfg.path_for_test, cfg.angRes, cfg.scale_factor, cfg.data_name, tag=cfg.task_tag())
     except FileNotFoundError:
         test_sets = {}
 
