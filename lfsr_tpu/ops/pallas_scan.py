@@ -51,9 +51,6 @@ def _scan_chunk_kernel(u_ref, dt_ref, a_ref, b_ref, c_ref, y_ref, h_carry, *, T,
     A = a_ref[:].astype(jnp.float32)  # [N, D] (pre-transposed by caller)
     N, D = A.shape
 
-    S = 8 if T % 8 == 0 and T >= 64 else 1  # intra-segment length
-    M = T // S
-
     def body(k, h0):
         sl = pl.ds(k * T, T)
         u = u_ref[0, sl, :].astype(jnp.float32)    # [T, D]
@@ -65,49 +62,9 @@ def _scan_chunk_kernel(u_ref, dt_ref, a_ref, b_ref, c_ref, y_ref, h_carry, *, T,
         # axis and the scan runs along the untiled leading T axis.
         dA = jnp.exp(dt[:, None, :] * A[None])        # [T, N, D]
         dBx = Bc[:, :, None] * (dt * u)[:, None, :]   # [T, N, D]
-
-        # Work-efficient two-level scan. Hillis-Steele over the whole
-        # chunk does O(T log T) combines; splitting the chunk into M
-        # segments of length S and scanning segments sequentially (the
-        # combines vectorize across M) cuts the combine work ~3x — the
-        # kernel is VPU-compute-bound at L=25600, so this is wall time.
-        a4 = dA.reshape(M, S, N, D)
-        b4 = dBx.reshape(M, S, N, D)
-        sa = [a4[:, s] for s in range(S)]  # S x [M, N, D]
-        sb = [b4[:, s] for s in range(S)]
-        for s in range(1, S):
-            sb[s] = sb[s] + sa[s] * sb[s - 1]
-            sa[s] = sa[s] * sa[s - 1]
-
-        # inter-segment inclusive scan over M (log2(M) passes on 1/S of
-        # the data): (a, b) o (a', b') = (a*a', a'*b + b')
-        ta, tb = sa[S - 1], sb[S - 1]
-        shift = 1
-        while shift < M:
-            pa = jnp.concatenate(
-                [jnp.ones((shift, N, D), jnp.float32), ta[: M - shift]], axis=0
-            )
-            pb = jnp.concatenate(
-                [jnp.zeros((shift, N, D), jnp.float32), tb[: M - shift]], axis=0
-            )
-            tb = tb + ta * pb
-            ta = ta * pa
-            shift *= 2
-
-        # exclusive prefix state per segment, seeded with the carry
-        pstate = jnp.concatenate(
-            [jnp.broadcast_to(h0[None], (1, N, D)), tb[: M - 1] + ta[: M - 1] * h0[None]],
-            axis=0,
-        )  # [M, N, D]
-
-        C4 = Cc.reshape(M, S, N)
-        ys = []
-        for s in range(S):
-            h_s = sb[s] + sa[s] * pstate               # [M, N, D]
-            ys.append(jnp.sum(h_s * C4[:, s][:, :, None], axis=1))  # [M, D]
-        y = jnp.stack(ys, axis=1).reshape(T, D)
+        y, h_new = _chunk_scan(dA, dBx, Cc, h0, T=T, N=N, D=D)
         y_ref[0, sl, :] = y.astype(y_ref.dtype)
-        return tb[M - 1] + ta[M - 1] * h0  # state after this chunk
+        return h_new
 
     h_carry[:] = jax.lax.fori_loop(0, inner, body, h_carry[:])
 
@@ -148,6 +105,223 @@ def _scan_pallas_raw(u, delta, A, Bc, Cc, chunk: int = 256, interpret: bool = Fa
         interpret=interpret,
     )(u, delta, A.T, Bc, Cc)
     return y
+
+
+# ---------------------------------------------------------------------------
+# Fused Mamba inner pipeline: causal depthwise conv1d -> SiLU -> x/dt
+# projections -> softplus -> selective scan -> D-skip -> SiLU(z) gate,
+# all in one kernel. The unfused path streams ~6 [B, L, Di]-sized tensors
+# through HBM per Mamba (xc, dbc, delta, B, C, scan y); fused, the only
+# HBM traffic is xs/z in and y out plus the (tiny) weights.
+# ---------------------------------------------------------------------------
+
+
+def _chunk_scan(dA, dBx, Cc, h0, *, T, N, D):
+    """Work-efficient two-level inclusive scan over one chunk.
+
+    dA/dBx: [T, N, D]; Cc: [T, N]; h0: [N, D] incoming state.
+    Returns (y [T, D], new_h0 [N, D]).
+    """
+    S = 8 if T % 8 == 0 and T >= 64 else 1
+    M = T // S
+    a4 = dA.reshape(M, S, N, D)
+    b4 = dBx.reshape(M, S, N, D)
+    sa = [a4[:, s] for s in range(S)]
+    sb = [b4[:, s] for s in range(S)]
+    for s in range(1, S):
+        sb[s] = sb[s] + sa[s] * sb[s - 1]
+        sa[s] = sa[s] * sa[s - 1]
+    ta, tb = sa[S - 1], sb[S - 1]
+    shift = 1
+    while shift < M:
+        pa = jnp.concatenate(
+            [jnp.ones((shift, N, D), jnp.float32), ta[: M - shift]], axis=0
+        )
+        pb = jnp.concatenate(
+            [jnp.zeros((shift, N, D), jnp.float32), tb[: M - shift]], axis=0
+        )
+        tb = tb + ta * pb
+        ta = ta * pa
+        shift *= 2
+    pstate = jnp.concatenate(
+        [jnp.broadcast_to(h0[None], (1, N, D)), tb[: M - 1] + ta[: M - 1] * h0[None]],
+        axis=0,
+    )
+    C4 = Cc.reshape(M, S, N)
+    ys = []
+    for s in range(S):
+        h_s = sb[s] + sa[s] * pstate
+        ys.append(jnp.sum(h_s * C4[:, s][:, :, None], axis=1))
+    y = jnp.stack(ys, axis=1).reshape(T, D)
+    return y, tb[M - 1] + ta[M - 1] * h0
+
+
+def _mamba_inner_kernel(
+    xs_ref, z_ref, wconv_ref, bconv_ref, wx_ref, wdt_ref, bdt_ref, a_ref,
+    dskip_ref, y_ref, h_carry, conv_carry, xc_s, delta_s, bc_s, cc_s,
+    *, T, inner, R, N, K,
+):
+    li = pl.program_id(1)
+
+    @pl.when(li == 0)
+    def _():
+        h_carry[:] = jnp.zeros_like(h_carry)
+        conv_carry[:] = jnp.zeros_like(conv_carry)
+
+    A = a_ref[:].astype(jnp.float32)        # [N, Di]
+    Wx = wx_ref[:].astype(jnp.float32)      # [Di, R+2N]
+    Wdt = wdt_ref[:].astype(jnp.float32)    # [R, Di]
+    bdt = bdt_ref[:].astype(jnp.float32)    # [1, Di]
+    wconv = wconv_ref[:].astype(jnp.float32)  # [K, Di]
+    bconv = bconv_ref[:].astype(jnp.float32)  # [1, Di]
+    dskip = dskip_ref[:].astype(jnp.float32)  # [1, Di]
+    Di = A.shape[1]
+    blk = T * inner
+
+    # --- block-level dense work (one big MXU-friendly pass, not one tiny
+    # matmul per chunk — per-chunk matmuls are launch-latency-bound) ----
+    xs = xs_ref[0].astype(jnp.float32)  # [blk, Di]
+
+    # causal depthwise conv width K (torch Conv1d groups=Di, left pad),
+    # carry = last K-1 rows of the previous block
+    xe = jnp.concatenate([conv_carry[:], xs], axis=0)  # [blk+K-1, Di]
+    xc = bconv
+    for kk in range(K):
+        xc = xc + wconv[kk][None] * xe[kk : kk + blk]
+    xc = xc * jax.nn.sigmoid(xc)  # silu
+    conv_carry[:] = xs[blk - (K - 1) :]
+
+    dbc = jnp.dot(xc, Wx, preferred_element_type=jnp.float32)  # [blk, R+2N]
+    delta = jax.nn.softplus(
+        jnp.dot(dbc[:, :R], Wdt, preferred_element_type=jnp.float32) + bdt
+    )  # [blk, Di]
+    # stage block-level results in scratch so the chunk loop can slice
+    # them (Mosaic can pl.ds-slice refs, not register values)
+    xc_s[:] = xc
+    delta_s[:] = delta
+    bc_s[:] = dbc[:, R : R + N]
+    cc_s[:] = dbc[:, R + N : R + 2 * N]
+
+    # --- sequential scan over chunks (the [T, N, Di] discretization
+    # tensors stay chunk-sized to respect VMEM) ---------------------------
+    def body(k, h0):
+        sl = pl.ds(k * T, T)
+        d = delta_s[sl, :]
+        x_ = xc_s[sl, :]
+        dA = jnp.exp(d[:, None, :] * A[None])              # [T, N, Di]
+        dBx = bc_s[sl, :][:, :, None] * (d * x_)[:, None, :]
+        y, h_new = _chunk_scan(dA, dBx, cc_s[sl, :], h0, T=T, N=N, D=Di)
+        z = z_ref[0, sl, :].astype(jnp.float32)
+        y = y + x_ * dskip
+        y = y * (z * jax.nn.sigmoid(z))
+        y_ref[0, sl, :] = y.astype(y_ref.dtype)
+        return h_new
+
+    h_carry[:] = jax.lax.fori_loop(0, inner, body, h_carry[:])
+
+
+def mamba_inner_ref(xs, z, wconv, bconv, Wx, Wdt, bdt, A, D_skip):
+    """Pure-JAX reference of the fused pipeline (backward path + CPU).
+
+    xs, z: [B, L, Di]; wconv [K, Di]; Wx [Di, R+2N]; Wdt [R, Di];
+    A [Di, N] (negative); D_skip [Di]. Returns [B, L, Di] in xs.dtype.
+    """
+    from lfsr_tpu.ops import selective_scan as ssr
+
+    K = wconv.shape[0]
+    R = Wdt.shape[0]
+    N = A.shape[1]
+    L = xs.shape[1]
+    f32 = jnp.float32
+    xp = jnp.pad(xs.astype(f32), ((0, 0), (K - 1, 0), (0, 0)))
+    xc = jax.lax.conv_general_dilated(
+        xp, wconv.astype(f32)[:, None, :], (1,), "VALID",
+        dimension_numbers=("NLC", "LIO", "NLC"),
+        feature_group_count=xs.shape[-1],
+    ) + bconv.astype(f32)
+    xc = jax.nn.silu(xc)
+    dbc = jnp.einsum("bld,dk->blk", xc, Wx.astype(f32))
+    delta = jax.nn.softplus(
+        jnp.einsum("blr,rd->bld", dbc[..., :R], Wdt.astype(f32)) + bdt.astype(f32)
+    )
+    Bc, Cc = dbc[..., R : R + N], dbc[..., R + N : R + 2 * N]
+    if L % 256 == 0 and L > 4096:
+        y = ssr.selective_scan_chunked(xc, delta, A, Bc, Cc, D_skip, chunk=256)
+    else:
+        y = ssr.selective_scan(xc, delta, A, Bc, Cc, D_skip)
+    return (y.astype(f32) * jax.nn.silu(z.astype(f32))).astype(xs.dtype)
+
+
+def _mamba_fused_raw(xs, z, wconv, bconv, Wx, Wdt, bdt, A, D_skip,
+                     chunk: int = 128, interpret: bool = False):
+    B, L, Di = xs.shape
+    N = A.shape[1]
+    K = wconv.shape[0]
+    R = Wdt.shape[0]
+    chunk = min(chunk, L)
+    assert L % chunk == 0, f"L={L} % chunk={chunk} != 0"
+    inner = _pick_inner(L // chunk)
+    blk = chunk * inner
+    grid = (B, L // blk)
+
+    def idx_bt(i, j):
+        return (i, j, 0)
+
+    def idx_w(i, j):
+        return (0, 0)
+
+    wspec = lambda shape: pl.BlockSpec(shape, idx_w, memory_space=pltpu.VMEM)
+
+    y = pl.pallas_call(
+        functools.partial(
+            _mamba_inner_kernel, T=chunk, inner=inner, R=R, N=N, K=K
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, blk, Di), idx_bt, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, Di), idx_bt, memory_space=pltpu.VMEM),
+            wspec((K, Di)),
+            wspec((1, Di)),
+            wspec((Di, R + 2 * N)),
+            wspec((R, Di)),
+            wspec((1, Di)),
+            wspec((N, Di)),
+            wspec((1, Di)),
+        ],
+        out_specs=pl.BlockSpec((1, blk, Di), idx_bt, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, L, Di), xs.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((N, Di), jnp.float32),
+            pltpu.VMEM((K - 1, Di), jnp.float32),
+            pltpu.VMEM((blk, Di), jnp.float32),  # xc
+            pltpu.VMEM((blk, Di), jnp.float32),  # delta
+            pltpu.VMEM((blk, N), jnp.float32),   # B
+            pltpu.VMEM((blk, N), jnp.float32),   # C
+        ],
+        interpret=interpret,
+    )(xs, z, wconv, bconv[None], Wx, Wdt, bdt[None], A.T, D_skip[None])
+    return y
+
+
+@jax.custom_vjp
+def mamba_inner_fused(xs, z, wconv, bconv, Wx, Wdt, bdt, A, D_skip):
+    """Fused Mamba inner pipeline; associative-scan-reference gradients."""
+    interpret = jax.default_backend() != "tpu"
+    return _mamba_fused_raw(
+        xs, z, wconv, bconv, Wx, Wdt, bdt, A, D_skip, interpret=interpret
+    )
+
+
+def _mi_fwd(*args):
+    return mamba_inner_fused(*args), args
+
+
+def _mi_bwd(res, g):
+    _, vjp = jax.vjp(mamba_inner_ref, *res)
+    return vjp(g)
+
+
+mamba_inner_fused.defvjp(_mi_fwd, _mi_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))

@@ -49,3 +49,31 @@ def test_fused_gradient_matches_reference_impl():
     g1 = jax.grad(f_fused)(u)
     g2 = jax.grad(f_ref)(u)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4)
+
+
+def test_mamba_inner_fused_matches_ref():
+    """Fused inner-pipeline kernel (scan_impl='fused') vs pure-JAX ref."""
+    from lfsr_tpu.ops.pallas_scan import mamba_inner_fused, mamba_inner_ref
+
+    rng = np.random.default_rng(0)
+    B, L, Di, N, R, K = 2, 512, 80, 16, 5, 4
+    f = jnp.float32
+    args = (
+        jnp.asarray(rng.standard_normal((B, L, Di)), f),
+        jnp.asarray(rng.standard_normal((B, L, Di)), f),
+        jnp.asarray(rng.standard_normal((K, Di)) * 0.2, f),
+        jnp.asarray(rng.standard_normal((Di,)) * 0.1, f),
+        jnp.asarray(rng.standard_normal((Di, R + 2 * N)) * 0.1, f),
+        jnp.asarray(rng.standard_normal((R, Di)) * 0.2, f),
+        jnp.asarray(rng.standard_normal((Di,)) * 0.1, f),
+        -jnp.asarray(np.abs(rng.standard_normal((Di, N))) + 0.1, f),
+        jnp.ones((Di,), f),
+    )
+    y_ref = jax.jit(mamba_inner_ref)(*args)
+    y_fus = jax.jit(mamba_inner_fused)(*args)
+    assert float(jnp.max(jnp.abs(y_ref - y_fus))) < 1e-5
+
+    g_ref = jax.grad(lambda *a: jnp.sum(mamba_inner_ref(*a) ** 2), argnums=(0, 4))(*args)
+    g_fus = jax.grad(lambda *a: jnp.sum(mamba_inner_fused(*a) ** 2), argnums=(0, 4))(*args)
+    for gr, gf in zip(g_ref, g_fus):
+        assert float(jnp.max(jnp.abs(gr - gf))) < 1e-4
