@@ -88,7 +88,12 @@ class IFE(nn.Module):
 
 
 class MultiScaleLocal(nn.Module):
-    """Channel-split local branch: 1x1 + three depthwise 3x3 (V8:779-800)."""
+    """Channel-split local branch: 1x1 + three depthwise 3x3 (V8:779-800).
+
+    The three 16-channel depthwise 3x3 branches are one depthwise conv
+    over the upper 3c channels (depthwise = per-channel, so splitting is
+    purely notational) — profiled 2x faster than three narrow-lane convs.
+    """
 
     feats: int
     dtype: jnp.dtype
@@ -96,13 +101,9 @@ class MultiScaleLocal(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.feats // 4
-        parts = [
-            conv(c, 1, use_bias=False, dtype=self.dtype)(x[..., :c]),
-            _dw(c, dtype=self.dtype)(x[..., c : 2 * c]),
-            _dw(c, dtype=self.dtype)(x[..., 2 * c : 3 * c]),
-            _dw(self.feats - 3 * c, dtype=self.dtype)(x[..., 3 * c :]),
-        ]
-        y = jnp.concatenate(parts, -1)
+        head = conv(c, 1, use_bias=False, dtype=self.dtype)(x[..., :c])
+        rest = _dw(self.feats - c, dtype=self.dtype)(x[..., c:])
+        y = jnp.concatenate([head, rest], -1)
         y = lrelu(conv(self.feats, 1, use_bias=False, dtype=self.dtype)(y))
         return y + x
 
@@ -125,8 +126,13 @@ class CrossScanSSM(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         g = c // 4
-        gs = [x[..., :g], x[..., g : 2 * g], x[..., 2 * g : 3 * g], x[..., 3 * g :]]
 
+        # Per-group directional relayouts. Measured both ways on v5e:
+        # transforming full-width tensors then lane-slicing materializes
+        # 3 extra 52 MB tensors per block (+20 ms/model); the narrow
+        # per-group strided copies below are cheaper despite poor stride
+        # patterns. (Profile notes in PERF.md.)
+        gs = [x[..., :g], x[..., g : 2 * g], x[..., 2 * g : 3 * g], x[..., 3 * g :]]
         s0 = gs[0].reshape(b, h * w, g)
         s1 = gs[1].reshape(b, h * w, g)[:, ::-1]
         s2 = gs[2].transpose(0, 2, 1, 3).reshape(b, h * w, g)

@@ -96,15 +96,17 @@ class Mamba(nn.Module):
             # XLA dense ops + Pallas scan (fastest measured split)
             xc = self._conv_silu(xs, w_conv, b_conv, dt)
             dbc = xc @ w_x.astype(dt)
-            delta = jax.nn.softplus(
-                (dbc[..., :R] @ w_dt.astype(dt)).astype(jnp.float32)
-                + b_dt.astype(jnp.float32)
-            )
+            # pre-activation delta streams in model dtype; softplus runs
+            # in f32 inside the kernel (same numerics: the bf16 matmul
+            # already quantized dt before softplus either way)
+            dt_raw = dbc[..., :R] @ w_dt.astype(dt) + b_dt.astype(dt)
             Bc, Cc = dbc[..., R : R + N], dbc[..., R + N :]
             from lfsr_tpu.ops.pallas_scan import selective_scan_fused
 
             chunk = 256 if L % 256 == 0 else 128
-            y = selective_scan_fused(xc, delta, A, Bc, Cc, D_skip, chunk)
+            y = selective_scan_fused(
+                xc, dt_raw, A, Bc, Cc, D_skip, chunk, True
+            )
             y = y.astype(jnp.float32) * jax.nn.silu(z.astype(jnp.float32))
         elif self.scan_impl == "fused" and on_tpu and L % 128 == 0:
             y = mamba_inner_fused(

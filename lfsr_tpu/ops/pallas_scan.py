@@ -32,7 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 from lfsr_tpu.ops import selective_scan as ssref
 
 
-def _scan_chunk_kernel(u_ref, dt_ref, a_ref, b_ref, c_ref, y_ref, h_carry, *, T, inner):
+def _scan_chunk_kernel(u_ref, dt_ref, a_ref, b_ref, c_ref, y_ref, h_carry, *, T, inner,
+                       pre_softplus=False):
     """One (batch row, block-of-chunks) grid step.
 
     The block holds ``inner`` consecutive chunks of length T; a fori_loop
@@ -55,6 +56,9 @@ def _scan_chunk_kernel(u_ref, dt_ref, a_ref, b_ref, c_ref, y_ref, h_carry, *, T,
         sl = pl.ds(k * T, T)
         u = u_ref[0, sl, :].astype(jnp.float32)    # [T, D]
         dt = dt_ref[0, sl, :].astype(jnp.float32)  # [T, D]
+        if pre_softplus:
+            # dt arrives pre-activation (bf16-streamable); activate in f32
+            dt = jax.nn.softplus(dt)
         Bc = b_ref[0, sl, :].astype(jnp.float32)   # [T, N]
         Cc = c_ref[0, sl, :].astype(jnp.float32)   # [T, N]
 
@@ -77,7 +81,8 @@ def _pick_inner(n_chunks: int, max_inner: int = 16) -> int:
     return 1
 
 
-def _scan_pallas_raw(u, delta, A, Bc, Cc, chunk: int = 256, interpret: bool = False):
+def _scan_pallas_raw(u, delta, A, Bc, Cc, chunk: int = 256, interpret: bool = False,
+                     pre_softplus: bool = False):
     B, L, D = u.shape
     N = A.shape[1]
     chunk = min(chunk, L)
@@ -90,7 +95,9 @@ def _scan_pallas_raw(u, delta, A, Bc, Cc, chunk: int = 256, interpret: bool = Fa
         return (i, j, 0)
 
     y = pl.pallas_call(
-        functools.partial(_scan_chunk_kernel, T=chunk, inner=inner),
+        functools.partial(
+            _scan_chunk_kernel, T=chunk, inner=inner, pre_softplus=pre_softplus
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, blk, D), idx_bt, memory_space=pltpu.VMEM),
@@ -324,33 +331,42 @@ def _mi_bwd(res, g):
 mamba_inner_fused.defvjp(_mi_fwd, _mi_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def selective_scan_fused(u, delta, A, Bc, Cc, D_skip, chunk: int = 256):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def selective_scan_fused(u, delta, A, Bc, Cc, D_skip, chunk: int = 256,
+                         pre_softplus: bool = False):
     """Pallas selective scan with associative-scan gradients.
 
     Same contract as lfsr_tpu.ops.selective_scan.selective_scan. On
-    non-TPU backends runs the kernel in interpret mode.
+    non-TPU backends runs the kernel in interpret mode. With
+    ``pre_softplus`` the delta argument is pre-activation (so it can
+    stream in bf16) and softplus runs in f32 inside the kernel.
     """
     interpret = jax.default_backend() != "tpu"
-    y = _scan_pallas_raw(u, delta, A, Bc, Cc, interpret=interpret, chunk=chunk)
+    y = _scan_pallas_raw(u, delta, A, Bc, Cc, interpret=interpret, chunk=chunk,
+                         pre_softplus=pre_softplus)
     if D_skip is not None:
         y = (y.astype(jnp.float32) + u.astype(jnp.float32) * D_skip[None, None]).astype(u.dtype)
     return y
 
 
-def _fwd(u, delta, A, Bc, Cc, D_skip, chunk):
-    return selective_scan_fused(u, delta, A, Bc, Cc, D_skip, chunk), (u, delta, A, Bc, Cc, D_skip)
+def _fwd(u, delta, A, Bc, Cc, D_skip, chunk, pre_softplus):
+    return (
+        selective_scan_fused(u, delta, A, Bc, Cc, D_skip, chunk, pre_softplus),
+        (u, delta, A, Bc, Cc, D_skip),
+    )
 
 
-def _bwd(chunk, res, g):
+def _bwd(chunk, pre_softplus, res, g):
     # Gradients via the chunked lax.scan implementation: its VJP stores
     # per-chunk boundary states instead of the O(L) [B,L,D,N] tensors the
     # fully-parallel scan would (which OOMs at the L=25600 eval point).
     u, delta, A, Bc, Cc, D_skip = res
-    _, vjp = jax.vjp(
-        lambda *args: ssref.selective_scan_chunked(*args, chunk=chunk),
-        u, delta, A, Bc, Cc, D_skip,
-    )
+
+    def ref(u_, delta_, A_, Bc_, Cc_, D_):
+        d = jax.nn.softplus(delta_.astype(jnp.float32)) if pre_softplus else delta_
+        return ssref.selective_scan_chunked(u_, d, A_, Bc_, Cc_, D_, chunk=chunk)
+
+    _, vjp = jax.vjp(ref, u, delta, A, Bc, Cc, D_skip)
     return vjp(g)
 
 

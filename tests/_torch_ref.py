@@ -41,6 +41,15 @@ def load_ref_model(name: str, args=None):
         opt = types.ModuleType("option")
         opt.args = ref_args()
         sys.modules["option"] = opt
+    if "skimage" not in sys.modules:
+        # several reference model files import skimage.morphology at module
+        # level but never use it in forward; stub it (not installed here)
+        sk = types.ModuleType("skimage")
+        for sub in ("morphology", "metrics"):
+            m = types.ModuleType(f"skimage.{sub}")
+            setattr(sk, sub, m)
+            sys.modules[f"skimage.{sub}"] = m
+        sys.modules["skimage"] = sk
     import importlib
 
     mod = importlib.import_module(f"model.SR.{name}")

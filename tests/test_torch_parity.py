@@ -106,6 +106,76 @@ def test_distg_ssr_forward_parity():
 
 
 # --------------------------------------------------------------------------
+# CNN baselines: VDSR (VDSR.py:18-60), EDSR (EDSR.py:17-70),
+# RCAN (RCAN.py:14-110)
+# --------------------------------------------------------------------------
+
+def _map_vdsr(sd):
+    P = {"Conv_0": {"kernel": t_conv(sd["input.weight"])}}
+    for i in range(18):
+        P[f"Conv_{i + 1}"] = {
+            "kernel": t_conv(sd[f"residual_layer.{i}.conv.weight"])
+        }
+    P["Conv_19"] = {"kernel": t_conv(sd["output.weight"])}
+    return P
+
+
+def test_vdsr_forward_parity():
+    tm = load_ref_model("VDSR", ref_args(scale_factor=4))
+    _run_pair("VDSR", tm, _map_vdsr, _rand_sai(seed=6), atol=1e-4)
+
+
+def _cb(sd, pre):
+    return {"kernel": t_conv(sd[pre + ".weight"]), "bias": a(sd[pre + ".bias"])}
+
+
+def _map_edsr(sd):
+    P = {"Conv_0": _cb(sd, "init_feature")}
+    for i in range(32):
+        P[f"_EDSRBlock_{i}"] = {
+            "Conv_0": _cb(sd, f"body.body.{i}.body.0"),
+            "Conv_1": _cb(sd, f"body.body.{i}.body.2"),
+        }
+    P["Conv_1"] = _cb(sd, "body.body.32")
+    P["Conv_2"] = _cb(sd, "upscale.0")
+    P["Conv_3"] = _cb(sd, "upscale.2")
+    P["Conv_4"] = _cb(sd, "upscale.4")
+    return P
+
+
+def test_edsr_forward_parity():
+    tm = load_ref_model("EDSR", ref_args(scale_factor=4))
+    _run_pair("EDSR", tm, _map_edsr, _rand_sai(h0=6, seed=7), atol=2e-4)
+
+
+def _map_rcan(sd):
+    P = {"Conv_0": _cb(sd, "init_feature")}
+    for g in range(10):
+        G = {}
+        for b in range(20):
+            pre = f"RG{g + 1}.body.{b}."
+            G[f"_RCAB_{b}"] = {
+                "Conv_0": _cb(sd, pre + "body.0"),
+                "Conv_1": _cb(sd, pre + "body.2"),
+                "ChannelAttention_0": {
+                    "Conv_0": _cb(sd, pre + "body.3.conv_du.0"),
+                    "Conv_1": _cb(sd, pre + "body.3.conv_du.2"),
+                },
+            }
+        G["Conv_0"] = _cb(sd, f"RG{g + 1}.body.20")
+        P[f"_RCANGroup_{g}"] = G
+    P["Conv_1"] = _cb(sd, "last_feature")
+    P["Conv_2"] = _cb(sd, "upscale.0")
+    P["Conv_3"] = _cb(sd, "upscale.2")
+    return P
+
+
+def test_rcan_forward_parity():
+    tm = load_ref_model("RCAN", ref_args(scale_factor=4))
+    _run_pair("RCAN", tm, _map_rcan, _rand_sai(h0=6, seed=8), atol=2e-4)
+
+
+# --------------------------------------------------------------------------
 # LF_InterNet (LF_InterNet.py:15-141)
 # --------------------------------------------------------------------------
 
