@@ -35,6 +35,10 @@ def load_ref_model(name: str, args=None):
     """Import model/SR/<name>.py from the reference and build get_model."""
     import torch
 
+    # several reference forwards call .cuda() on intermediates
+    # (resLF.py:43-45, 154-174); make that a no-op on CPU
+    torch.Tensor.cuda = lambda self, *a, **k: self
+
     if REF not in sys.path:
         sys.path.insert(0, REF)
     if "option" not in sys.modules:

@@ -504,3 +504,252 @@ def test_v5_fastconvssm_forward_parity():
         model_kwargs={"ssm_impl": "conv", "use_tta": False},
         atol=1e-4,
     )
+
+
+# --------------------------------------------------------------------------
+# resLF (resLF.py:18-212) — per-view star-shaped sub-nets
+# --------------------------------------------------------------------------
+
+def _map_reslf_basic(sd, pre):
+    P = {
+        "head": {"kernel": t_conv(sd[pre + "head.weight"])},
+        "central_head": {"kernel": t_conv(sd[pre + "central_head.weight"])},
+        "Conv_0": {"kernel": t_conv(sd[pre + "body_degrade.weight"])},
+        "Conv_1": {"kernel": t_conv(sd[pre + "tail.0.weight"])},
+        "Conv_2": {"kernel": t_conv(sd[pre + "tail.2.weight"])},
+    }
+    for i in range(4):
+        P[f"_ResBlock_{i}"] = {
+            "Conv_0": {
+                "kernel": t_conv(sd[pre + f"midbody.{i}.body.0.weight"]),
+                "bias": a(sd[pre + f"midbody.{i}.body.0.bias"]),
+            },
+            "Conv_1": {
+                "kernel": t_conv(sd[pre + f"midbody.{i}.body.2.weight"]),
+                "bias": a(sd[pre + f"midbody.{i}.body.2.bias"]),
+            },
+        }
+        P[f"_ResBlock_{i + 4}"] = {
+            "Conv_0": {
+                "kernel": t_conv(sd[pre + f"body.{i}.body.0.weight"]),
+                "bias": a(sd[pre + f"body.{i}.body.0.bias"]),
+            },
+            "Conv_1": {
+                "kernel": t_conv(sd[pre + f"body.{i}.body.2.weight"]),
+                "bias": a(sd[pre + f"body.{i}.body.2.bias"]),
+            },
+        }
+    return P
+
+
+def _map_reslf(sd):
+    return {
+        net: _map_reslf_basic(sd, net + ".")
+        for net in ("net_side", "net_corner", "net_3x3", "net_5x5", "net_7x7", "net_9x9")
+    }
+
+
+def test_reslf_forward_parity():
+    tm = load_ref_model("resLF", ref_args(scale_factor=4))
+    _run_pair("resLF", tm, _map_reslf, _rand_sai(seed=6), atol=5e-5)
+
+
+# --------------------------------------------------------------------------
+# LFSSR (LFSSR.py:19-216) — spatial-angular separable cascaded x2 stages
+# --------------------------------------------------------------------------
+
+def _map_lfssr(sd):
+    def cw(k):
+        return {"kernel": t_conv(sd[k + ".weight"]), "bias": a(sd[k + ".bias"])}
+
+    def stage(n):
+        S = {
+            f"_AltFilter_{i}": {
+                "Conv_0": cw(f"net.altblock{n}.{i}.spaconv"),
+                "Conv_1": cw(f"net.altblock{n}.{i}.angconv"),
+            }
+            for i in range(10)
+        }
+        S["Conv_0"] = cw(f"net.fup{n}.0")
+        S["Conv_1"] = cw(f"net.res{n}")
+        S["Conv_2"] = cw(f"net.iup{n}.0")
+        return S
+
+    return {
+        "Conv_0": cw("net.conv0"),
+        "_Stage2x_0": stage(1),
+        "_Stage2x_1": stage(2),
+    }
+
+
+def test_lfssr_forward_parity():
+    tm = load_ref_model("LFSSR", ref_args(scale_factor=4))
+    _run_pair("LFSSR", tm, _map_lfssr, _rand_sai(seed=7), atol=5e-5)
+
+
+# --------------------------------------------------------------------------
+# LF-ATO (LFSSR_ATO.py:16-126) — all-to-one per-reference-view fusion
+# --------------------------------------------------------------------------
+
+def _map_lf_ato(sd):
+    def cw(k):
+        return {"kernel": t_conv(sd[k + ".weight"]), "bias": a(sd[k + ".bias"])}
+
+    def stack(pre, n):
+        return {
+            f"_ResBlock_{i}": {
+                "Conv_0": cw(f"{pre}.{i}.conv1"),
+                "Conv_1": cw(f"{pre}.{i}.conv2"),
+            }
+            for i in range(n)
+        }
+
+    fusion = {
+        "Conv_0": cw("pair_conv0"),
+        "_ResStack_0": stack("pair_resblock", 2),
+        "Conv_1": cw("pair_conv1"),
+        "Conv_2": cw("fusion_view_conv0"),
+        "_ResStack_1": stack("fusion_view_resblock", 2),
+        "Conv_3": cw("fusion_view_conv1"),
+        "Conv_4": cw("fusion_fea_conv0"),
+        "_ResStack_2": stack("fusion_fea_resblock", 3),
+        "Conv_5": cw("upsampler.0"),
+        "Conv_6": cw("upsampler.3"),
+        "Conv_7": cw("HRconv"),
+        "Conv_8": cw("conv_last"),
+    }
+    return {
+        "Conv_0": cw("fea_conv0"),
+        "_ResStack_0": stack("fea_resblock", 5),
+        "_PerRefFusion_0": fusion,
+    }
+
+
+def test_lf_ato_forward_parity():
+    tm = load_ref_model("LFSSR_ATO", ref_args(scale_factor=4))
+    _run_pair("LF_ATO", tm, _map_lf_ato, _rand_sai(seed=8), atol=5e-5)
+
+
+# --------------------------------------------------------------------------
+# MEG-Net (MEG_Net.py:21-185) — 4-direction 3D conv branches + SA blocks
+# --------------------------------------------------------------------------
+
+def _map_meg_net(sd):
+    def c3(k):
+        return {"kernel": t_conv3d(sd[k + ".weight"]), "bias": a(sd[k + ".bias"])}
+
+    def prelu(k):
+        return {"alpha": a(sd[k + ".weight"])}
+
+    def branch(name):
+        B = {"first": c3(f"{name}_first.0")}
+        for i in range(4):
+            B[f"res_{i}"] = c3(f"{name}.{i}.body.1")
+            B[f"_PReLU_{i}"] = prelu(f"{name}.{i}.body.0")
+        return B
+
+    def convt(k):
+        # torch ConvTranspose3d [in, out, 1, kh, kw] -> flax transpose_kernel
+        # layout [kh, kw, out, in]
+        w = a(sd[k + ".weight"])[:, :, 0]
+        return {"kernel": w.transpose(2, 3, 1, 0), "bias": a(sd[k + ".bias"])}
+
+    P = {
+        "horizontal": branch("horizontal"),
+        "vertical": branch("vertical"),
+        "s45": branch("s45"),
+        "s135": branch("s135"),
+        "up": convt("upsample.0"),
+        "Conv_0": {
+            "kernel": t_conv3d(sd["upsample.1.weight"])[0],
+            "bias": a(sd["upsample.1.bias"]),
+        },
+        "up_main": convt("upsample_main.0"),
+    }
+    for i in range(4):
+        P[f"sa_{i}"] = {
+            "Conv_0": c3(f"s_body_list.{i}.body.0"),
+            "_PReLU_0": prelu(f"s_body_list.{i}.body.1"),
+            "Conv_1": c3(f"a_body_list.{i}.body.0"),
+            "_PReLU_1": prelu(f"a_body_list.{i}.body.1"),
+        }
+    return P
+
+
+def test_meg_net_forward_parity():
+    tm = load_ref_model("MEG_Net", ref_args(scale_factor=4))
+    _run_pair("MEG_Net", tm, _map_meg_net, _rand_sai(seed=9), atol=5e-5)
+
+
+# --------------------------------------------------------------------------
+# LF-IINet (LF_IINet.py:16-334) — intra/inter interaction + MCB + FBM
+# --------------------------------------------------------------------------
+
+def _map_lf_iinet(sd):
+    def cw(k, bias=True):
+        d = {"kernel": t_conv(sd[k + ".weight"])}
+        if bias:
+            d["bias"] = a(sd[k + ".bias"])
+        return d
+
+    def c3(k, bias=False):
+        d = {"kernel": t_conv3d(sd[k + ".weight"])}
+        if bias:
+            d["bias"] = a(sd[k + ".bias"])
+        return d
+
+    def res_aspp(pre):
+        return {
+            "Conv_0": cw(pre + ".conv_1.0", bias=False),
+            "Conv_1": cw(pre + ".conv_2.0", bias=False),
+            "Conv_2": cw(pre + ".conv_3.0", bias=False),
+            "Conv_3": cw(pre + ".conv_t"),
+        }
+
+    def rb(pre):
+        return {"Conv_0": cw(pre + ".conv01"), "Conv_1": cw(pre + ".conv02")}
+
+    def fea_extract(pre):
+        return {
+            "Conv_0": cw(pre + ".FEconv", bias=False),
+            "_ResASPP_0": res_aspp(pre + ".FERB_1"),
+            "_RB_0": rb(pre + ".FERB_2"),
+            "_ResASPP_1": res_aspp(pre + ".FERB_3"),
+            "_RB_1": rb(pre + ".FERB_4"),
+        }
+
+    P = {
+        "_FeaExtract_0": fea_extract("IntraFeaExtract"),
+        "_FeaExtract_1": fea_extract("InterFeaExtract"),
+    }
+    for i in range(4):
+        fum = {
+            "Conv_0": cw(f"Interact_{i+1}.conv_fusing"),
+            "Conv_1": cw(f"Interact_{i+1}.conv_sharing"),
+        }
+        if i < 3:
+            fum["Conv_2"] = cw(f"Interact_{i+1}.conv_f1")
+            fum["Conv_3"] = cw(f"Interact_{i+1}.conv_f2")
+        P[f"_FUM_{i}"] = fum
+        P[f"_MCB_{i}"] = {
+            "Conv_0": c3(f"MCB_{i+1}.conv1"),
+            "Conv_1": c3(f"MCB_{i+1}.ASPP.conv_1.0"),
+            "Conv_2": c3(f"MCB_{i+1}.ASPP.conv_2.0"),
+            "Conv_3": c3(f"MCB_{i+1}.ASPP.conv_3.0"),
+            "Conv_4": c3(f"MCB_{i+1}.ASPP.conv_t", bias=True),
+            "Conv_5": c3(f"MCB_{i+1}.conv2"),
+        }
+    fbm = {}
+    for i in range(4):
+        fbm[f"_RB_{i}"] = rb(f"FBM.FERB_{i+1}")
+        fbm[f"Conv_{2*i}"] = cw(f"FBM.att{i+1}.att_c.0")
+        fbm[f"Conv_{2*i+1}"] = cw(f"FBM.att{i+1}.att_c.2")
+    P["_FBM_0"] = fbm
+    P["Conv_0"] = cw("UpSample.upsp.0", bias=False)
+    P["Conv_1"] = cw("UpSample.upsp.2", bias=False)
+    return P
+
+
+def test_lf_iinet_forward_parity():
+    tm = load_ref_model("LF_IINet", ref_args(scale_factor=4))
+    _run_pair("LF_IINet", tm, _map_lf_iinet, _rand_sai(seed=10), atol=5e-5)
