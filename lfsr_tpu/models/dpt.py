@@ -31,9 +31,22 @@ import flax.linen as nn
 from lfsr_tpu.config import Config
 from lfsr_tpu.models.common import conv, lrelu, pixel_shuffle
 from lfsr_tpu.models.registry import register_model
-from lfsr_tpu.models.lf_iinet import _RB
 from lfsr_tpu.ops.layout import sai_to_views, views_to_sai
 from lfsr_tpu.ops.resize import interpolate
+
+
+class _RBD(nn.Module):
+    """DPT's residual block — bias-free convs (DPT.py:570-581), unlike
+    LF_IINet's RB."""
+
+    feats: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        y = lrelu(conv(self.feats, 3, padding=1, use_bias=False, dtype=self.dtype)(x))
+        y = conv(self.feats, 3, padding=1, use_bias=False, dtype=self.dtype)(y)
+        return x + y
 
 
 class _ResASPPD(nn.Module):
@@ -64,9 +77,9 @@ class _FeaExtractD(nn.Module):
     def __call__(self, x):
         y = conv(self.feats, 1, use_bias=False, dtype=self.dtype)(x)
         y = _ResASPPD(self.feats, self.dtype)(y)
-        y = _RB(self.feats, self.dtype)(y)
+        y = _RBD(self.feats, self.dtype)(y)
         y = _ResASPPD(self.feats, self.dtype)(y)
-        y = _RB(self.feats, self.dtype)(y)
+        y = _RBD(self.feats, self.dtype)(y)
         return y
 
 
@@ -74,12 +87,17 @@ class _FeaExtractD(nn.Module):
 def _fold_kernel(k: int, c: int) -> np.ndarray:
     """One-hot conv_transpose kernel scattering (c*k*k)-channel tokens back
     to k x k x c patches; channel order (c, ki, kj) matches
-    conv_general_dilated_patches."""
+    conv_general_dilated_patches / torch unfold.
+
+    Spatially flipped because lax.conv_transpose convolves with the kernel
+    as given (no flip): entry (ki, kj) of a token at block l must land at
+    l*stride + ki, which the fractionally-strided convolution reads from
+    kernel position (k-1-ki) (verified against torch F.fold)."""
     K = np.zeros((k, k, c * k * k, c), np.float32)
     for ki in range(k):
         for kj in range(k):
             for cc in range(c):
-                K[ki, kj, cc * k * k + ki * k + kj, cc] = 1.0
+                K[k - 1 - ki, k - 1 - kj, cc * k * k + ki * k + kj, cc] = 1.0
     return K
 
 
@@ -102,6 +120,7 @@ class _SALSA(nn.Module):
     stride: int = 4
     scale: float = 10.0
     dtype: jnp.dtype = jnp.float32
+    compat_fold_pad: bool = False
 
     @nn.compact
     def __call__(self, x, g=None):
@@ -144,9 +163,28 @@ class _SALSA(nn.Module):
         fold = lambda t: jax.lax.conv_transpose(
             t, Kf, (s, s), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
         )
-        zi = fold(z)[:, pl : pl + h, ql : ql + w]
-        cnt = fold(jnp.ones_like(z))[:, pl : pl + h, ql : ql + w]
-        zi = zi / cnt
+        if self.compat_fold_pad:
+            # reference de-tokenization bug-compat: F.fold uses the
+            # symmetric stride-1 'same' padding ((k-1)//2) although tokens
+            # were extracted with the asymmetric stride-s padding, and its
+            # coverage mask is unfolded from a zero-padded ones image
+            # (DPT.py:104-115)
+            fp = (k - 1) // 2
+            zi = fold(z)[:, fp : fp + h, fp : fp + w]
+            ones = jnp.ones((1, 1, h, w), jnp.float32)
+            t1 = jax.lax.conv_general_dilated_patches(
+                ones, (k, k), (s, s), ((fp, fp), (fp, fp))
+            )  # [1, k*k, oh, ow]
+            t1 = t1.transpose(0, 2, 3, 1)
+            K1 = jnp.asarray(_fold_kernel(k, 1))
+            cnt = jax.lax.conv_transpose(
+                t1, K1, (s, s), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            )[:, fp : fp + h, fp : fp + w]
+            zi = zi / cnt.astype(zi.dtype)
+        else:
+            zi = fold(z)[:, pl : pl + h, ql : ql + w]
+            cnt = fold(jnp.ones_like(z))[:, pl : pl + h, ql : ql + w]
+            zi = zi / cnt
 
         y = conv(cin, 1, dtype=dt, name="W")(zi).reshape(b, n, h, w, cin)
         return x + y  # SALSA's own residual (DPT.py:118)
@@ -156,10 +194,12 @@ class _SalsaWrap(nn.Module):
     in_channels: int
     cross: bool = False
     dtype: jnp.dtype = jnp.float32
+    compat_fold_pad: bool = False
 
     @nn.compact
     def __call__(self, x, g=None):
-        att = _SALSA(self.in_channels, self.cross, dtype=self.dtype, name="attention")
+        att = _SALSA(self.in_channels, self.cross, dtype=self.dtype,
+                     compat_fold_pad=self.compat_fold_pad, name="attention")
         # SALSA itself ends with y = b_one + W(zi); the salsa wrapper adds
         # another residual: x + attention(x) (DPT.py:294-311)
         return x + att(x, g)
@@ -239,14 +279,15 @@ class _RowColSalsa(nn.Module):
     ang: int
     cross: bool
     dtype: jnp.dtype
+    compat_fold_pad: bool = False
 
     @nn.compact
     def __call__(self, x, g=None):
         # x: [B, 25, h, w, C] in row-major view order
         b, n, h, w, c = x.shape
         a = self.ang
-        row_att = _SalsaWrap(c, self.cross, self.dtype, name="row")
-        col_att = _SalsaWrap(c, self.cross, self.dtype, name="col")
+        row_att = _SalsaWrap(c, self.cross, self.dtype, self.compat_fold_pad, name="row")
+        col_att = _SalsaWrap(c, self.cross, self.dtype, self.compat_fold_pad, name="col")
 
         xr = x.reshape(b, a, a, h, w, c).reshape(b * a, a, h, w, c)
         gr = None if g is None else g.reshape(b * a, a, h, w, c)
@@ -269,6 +310,7 @@ class _Branch(nn.Module):
     feats: int
     ang: int
     dtype: jnp.dtype
+    compat_fold_pad: bool = False
 
     @nn.compact
     def __call__(self, views):
@@ -277,8 +319,8 @@ class _Branch(nn.Module):
         c, dt = self.feats, self.dtype
         f0 = _FeaExtractD(c, dt)(views.reshape(b * n, h, w, 1)).reshape(b, n, h, w, c)
         f1 = _ADAM(c, self.ang, dt)(f0)
-        f1 = _RowColSalsa(c, self.ang, False, dt, name="round1")(f1)
-        f2 = _RowColSalsa(c, self.ang, False, dt, name="round2")(f1)
+        f1 = _RowColSalsa(c, self.ang, False, dt, self.compat_fold_pad, name="round1")(f1)
+        f2 = _RowColSalsa(c, self.ang, False, dt, self.compat_fold_pad, name="round2")(f1)
         return jnp.concatenate([f0, f1, f2], -1)  # [B, 25, h, w, 3C]
 
 
@@ -293,29 +335,52 @@ class DPT(nn.Module):
         dt = jnp.dtype(self.cfg.compute_dtype)
         c = self.cfg.mk("channels", 36)
         n = a * a
+        # reference-replication switches (weight-transfer parity testing):
+        # grad pad=2 grows the map 2px and truncation-splits it (DPT.py:240-246);
+        # fold pad uses the stride-1 symmetric padding (DPT.py:104-115)
+        compat_grad = self.cfg.mk("compat_grad_pad2", False)
+        compat_fold = self.cfg.mk("compat_fold_pad", False)
 
         up_in = x.transpose(0, 3, 1, 2)
         up = interpolate(up_in, s, method="bicubic").transpose(0, 2, 3, 1)
 
-        # gradient magnitude (padding 1, not the reference's off-by-two)
+        # gradient magnitude (padding 1; the reference's off-by-two pad is
+        # reproduced only under compat_grad_pad2)
+        gp = 2 if compat_grad else 1
         kv = jnp.asarray([[0, -1, 0], [0, 0, 0], [0, 1, 0]], jnp.float32).reshape(3, 3, 1, 1)
         kh = jnp.asarray([[0, 0, 0], [-1, 0, 1], [0, 0, 0]], jnp.float32).reshape(3, 3, 1, 1)
         e = lambda kern: jax.lax.conv_general_dilated(
-            x.astype(jnp.float32), kern, (1, 1), [(1, 1), (1, 1)],
+            x.astype(jnp.float32), kern, (1, 1), [(gp, gp), (gp, gp)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         grad = jnp.sqrt(e(kv) ** 2 + e(kh) ** 2 + 1e-6)
 
         v = sai_to_views(x[..., 0], a)
-        gv = sai_to_views(grad[..., 0], a)
         b, _, _, h, w = v.shape
+        if compat_grad:
+            # reference LFsplit truncates the (H+2, W+2) map at h2=(H+2)//a
+            gm = grad[..., 0]
+            h2, w2 = gm.shape[1] // a, gm.shape[2] // a
+            assert (h2, w2) == (h, w), "compat_grad_pad2 needs (H+2)//a == H//a"
+            gv = jnp.stack(
+                [
+                    jnp.stack(
+                        [gm[:, u * h2 : (u + 1) * h2, vv * w2 : (vv + 1) * w2]
+                         for vv in range(a)], 1
+                    )
+                    for u in range(a)
+                ],
+                1,
+            )
+        else:
+            gv = sai_to_views(grad[..., 0], a)
         views = v.reshape(b, n, h, w)[..., None].astype(dt)
         gviews = gv.reshape(b, n, h, w)[..., None].astype(dt)
 
-        sfeat = _Branch(c, a, dt, name="srbranch")(views)
-        gfeat = _Branch(c, a, dt, name="gbranch")(gviews)
+        sfeat = _Branch(c, a, dt, compat_fold, name="srbranch")(views)
+        gfeat = _Branch(c, a, dt, compat_fold, name="gbranch")(gviews)
 
-        fused = _RowColSalsa(3 * c, a, True, dt, name="fuse")(sfeat, gfeat)
+        fused = _RowColSalsa(3 * c, a, True, dt, compat_fold, name="fuse")(sfeat, gfeat)
         for i in range(self.cfg.mk("n_blocks", 5)):
             fused = _IMDB(3 * c, dt, name=f"imdb_{i}")(fused)
 

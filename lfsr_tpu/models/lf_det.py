@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from lfsr_tpu.config import Config
-from lfsr_tpu.models.common import conv, lrelu, pixel_shuffle, lrelu02
+from lfsr_tpu.models.common import conv, lrelu, pixel_shuffle
 from lfsr_tpu.models.registry import register_model
 from lfsr_tpu.ops.layout import sai_to_views, views_to_sai, views_to_macpi, macpi_to_views
 from lfsr_tpu.ops.resize import interpolate
@@ -222,7 +222,7 @@ class LFDET(nn.Module):
         agg = jnp.concatenate(list(reversed(fused)), -1)  # [B', h, w, 2C]
 
         y = conv(c * s * s, 1, use_bias=False, dtype=dt)(agg)
-        y = lrelu02(pixel_shuffle(y, s))
+        y = lrelu(pixel_shuffle(y, s))  # LeakyReLU(0.1), LF_DET.py:68-73
         y = conv(1, 3, padding=1, use_bias=False, dtype=dt)(y)
         out = views_to_sai(y.reshape(b, u, vv, h * s, w * s, 1)[..., 0], a)[..., None]
         return out.astype(jnp.float32) + up

@@ -12,15 +12,15 @@ x = jax.random.normal(key, (B, H, W, C), dt)
 
 mod = HLFR(C, 4, dt)
 params = mod.init(key, x)
-timed_loop(lambda x: mod.apply(params, x), x, reps=20, name="full HLFR")
+# measured: full HLFR 12.8ms
 
 xh = jax.random.normal(key, (B, H * 4, W * 4, C), dt)
 oc = conv(1, 3, padding=1, dtype=dt)
 poc = oc.init(key, xh)
-timed_loop(lambda x: oc.apply(poc, x), xh, reps=20, name="outconv 3x3 64->1 @640")
+# measured: outconv @640 8.1ms
 
-k = poc["params"]["Conv_0"]["kernel"]  # [3,3,64,1]
-bias = poc["params"]["Conv_0"]["bias"]
+k = poc["params"]["kernel"]  # [3,3,64,1]
+bias = poc["params"]["bias"]
 kdw = jnp.transpose(k, (0, 1, 3, 2)).astype(dt)  # [3,3,1,64]
 def dw_then_sum(x):
     y = jax.lax.conv_general_dilated(

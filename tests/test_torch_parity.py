@@ -753,3 +753,181 @@ def _map_lf_iinet(sd):
 def test_lf_iinet_forward_parity():
     tm = load_ref_model("LF_IINet", ref_args(scale_factor=4))
     _run_pair("LF_IINet", tm, _map_lf_iinet, _rand_sai(seed=10), atol=5e-5)
+
+
+# --------------------------------------------------------------------------
+# LFSSR-SAV (LFSSR_SAV.py:21-420) — parallel SAS/SAC blocks, x2 cascades
+# --------------------------------------------------------------------------
+
+def _map_lfssr_sav(sd):
+    def cw(k):
+        return {"kernel": t_conv(sd[k + ".weight"]), "bias": a(sd[k + ".bias"])}
+
+    def ct(k):
+        w = a(sd[k + ".weight"])  # [in, out, kh, kw]
+        return {"kernel": w.transpose(2, 3, 1, 0), "bias": a(sd[k + ".bias"])}
+
+    def stage(n):
+        S = {
+            f"_SAVParallel_{i}": {
+                "_SAS_0": {
+                    "spa": cw(f"net.altblock{n}.{i}.SAS_conv.spaconv"),
+                    "ang": cw(f"net.altblock{n}.{i}.SAS_conv.angconv"),
+                },
+                "_SAC_0": {
+                    "ver": cw(f"net.altblock{n}.{i}.SAC_conv.verconv"),
+                    "hor": cw(f"net.altblock{n}.{i}.SAC_conv.horconv"),
+                },
+            }
+            for i in range(10)
+        }
+        S["fup"] = ct(f"net.fup{n}.0")
+        S["res"] = cw(f"net.res{n}")
+        S["iup"] = ct(f"net.iup{n}")
+        return S
+
+    return {
+        "conv0": cw("net.conv0"),
+        "stage1": stage(1),
+        "stage2": stage(2),
+    }
+
+
+def test_lfssr_sav_forward_parity():
+    tm = load_ref_model("LFSSR_SAV", ref_args(scale_factor=4))
+    _run_pair("LFSSR_SAV", tm, _map_lfssr_sav, _rand_sai(seed=11), atol=5e-5)
+
+
+# --------------------------------------------------------------------------
+# HLFSR (HLFSR.py:7-344) — five-branch subspace extraction + covariance
+# attention + dilated residual groups
+# --------------------------------------------------------------------------
+
+def _map_hlfsr(sd):
+    def cw(k, bias=True):
+        d = {"kernel": t_conv(sd[k + ".weight"])}
+        if bias:
+            d["bias"] = a(sd[k + ".bias"])
+        return d
+
+    P = {}
+    for g in range(5):
+        pre = f"HFEM_{g+1}."
+        H = {
+            "head_epi": cw(pre + "head_epi.0", bias=False),
+            "Conv_0": cw(pre + "epi2spa.0", bias=False),
+            "Conv_1": cw(pre + "head_spa_intra.0", bias=False),
+            "Conv_2": cw(pre + "head_spa_inter.0", bias=False),
+            "Conv_3": cw(pre + "head_ang_intra.0", bias=False),
+            "Conv_4": cw(pre + "ang2spa_intra.0", bias=False),
+            "Conv_5": cw(pre + "head_ang_inter.0", bias=False),
+            "Conv_6": cw(pre + "ang2spa_inter.0", bias=False),
+            "_AttentionFusion_0": {
+                "alpha": a(sd[pre + "attention_fusion.alpha"]),
+                "gamma": a(sd[pre + "attention_fusion.gamma"]),
+                "beta": a(sd[pre + "attention_fusion.beta"]),
+            },
+            "Conv_7": cw(pre + "SRG.0", bias=False),
+            "Conv_8": cw(pre + "SRG.1.conv"),
+        }
+        for i in range(15):
+            bpre = pre + f"SRG.1.fea_resblock.{i}."
+            H[f"_CAResBlock_{i}"] = {
+                "Conv_0": cw(bpre + "conv1"),
+                "Conv_1": cw(bpre + "conv2"),
+                "Conv_2": cw(bpre + "CALayer.conv_du.0"),
+                "Conv_3": cw(bpre + "CALayer.conv_du.2"),
+            }
+        P[f"hfem_{g}"] = H
+    P["Conv_0"] = cw("UpSample.0.0")
+    P["Conv_1"] = cw("UpSample.0.2")
+    P["Conv_2"] = cw("UpSample.1", bias=False)
+    return P
+
+
+def test_hlfsr_forward_parity():
+    tm = load_ref_model("HLFSR", ref_args(scale_factor=4))
+    _run_pair("HLFSR", tm, _map_hlfsr, _rand_sai(h0=10, seed=12), atol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# DPT (DPT.py:7-739) — content/gradient branches with SALSA patch attention
+# --------------------------------------------------------------------------
+
+def _map_dpt(sd):
+    def cw(k, bias=True):
+        d = {"kernel": t_conv(sd[k + ".weight"])}
+        if bias:
+            d["bias"] = a(sd[k + ".bias"])
+        return d
+
+    def res_aspp(pre):
+        return {
+            "Conv_0": cw(pre + ".conv_1.0", bias=False),
+            "Conv_1": cw(pre + ".conv_2.0", bias=False),
+            "Conv_2": cw(pre + ".conv_3.0", bias=False),
+            "Conv_3": cw(pre + ".conv_t", bias=False),
+        }
+
+    def rb(pre):
+        return {
+            "Conv_0": cw(pre + ".conv01", bias=False),
+            "Conv_1": cw(pre + ".conv02", bias=False),
+        }
+
+    def salsa(pre):
+        return {"attention": {
+            "conv33": cw(pre + ".attention.conv33"),
+            "g": cw(pre + ".attention.g"),
+            "theta": cw(pre + ".attention.theta"),
+            "phi": cw(pre + ".attention.phi"),
+            "W": cw(pre + ".attention.W"),
+        }}
+
+    def branch(pre):
+        return {
+            "_FeaExtractD_0": {
+                "Conv_0": cw(pre + ".FeaExtract.FEconv", bias=False),
+                "_ResASPPD_0": res_aspp(pre + ".FeaExtract.FERB_1"),
+                "_RBD_0": rb(pre + ".FeaExtract.FERB_2"),
+                "_ResASPPD_1": res_aspp(pre + ".FeaExtract.FERB_3"),
+                "_RBD_1": rb(pre + ".FeaExtract.FERB_4"),
+            },
+            "_ADAM_0": {
+                "conv_1": cw(pre + ".ADAM_1.conv_1"),
+                "_ResASPPD_0": res_aspp(pre + ".ADAM_1.ASPP"),
+                "conv_f1": cw(pre + ".ADAM_1.conv_f1"),
+                "conv_f3": cw(pre + ".ADAM_1.conv_f3"),
+            },
+            "round1": {"row": salsa(pre + ".trans_row1"), "col": salsa(pre + ".trans_col1")},
+            "round2": {"row": salsa(pre + ".trans_row2"), "col": salsa(pre + ".trans_col2")},
+        }
+
+    P = {
+        "srbranch": branch("srbranch"),
+        "gbranch": branch("gbranch"),
+        "fuse": {"row": salsa("fuse.trans_f_row"), "col": salsa("fuse.trans_f_col")},
+        "Conv_0": cw("UpSample.upsp.0", bias=False),
+        "Conv_1": cw("UpSample.upsp.2", bias=False),
+    }
+    for i in range(5):
+        P[f"imdb_{i}"] = {
+            "Conv_0": cw(f"Reconstruct.body.{i}.conv_0", bias=False),
+            "Conv_1": cw(f"Reconstruct.body.{i}.conv_1", bias=False),
+            "Conv_2": cw(f"Reconstruct.body.{i}.conv_2", bias=False),
+            "Conv_3": cw(f"Reconstruct.body.{i}.conv_3", bias=False),
+            "Conv_4": cw(f"Reconstruct.body.{i}.conv_t", bias=False),
+        }
+    return P
+
+
+def test_dpt_forward_parity():
+    tm = load_ref_model("DPT", ref_args(scale_factor=4))
+    _run_pair(
+        "DPT",
+        tm,
+        _map_dpt,
+        _rand_sai(seed=13),
+        model_kwargs={"compat_grad_pad2": True, "compat_fold_pad": True},
+        atol=1e-4,
+    )
