@@ -33,7 +33,11 @@ from lfsr_tpu.ops.resize import interpolate
 
 
 def _bilinear_sample(img, yy, xx):
-    """img [B,H,W,C]; yy/xx [B,H,W] float coords -> [B,H,W,C]."""
+    """img [B,H,W,C]; yy/xx [B,H,W] float coords -> [B,H,W,C].
+
+    DCNv1 zero-padding semantics: corner pixels outside the map contribute
+    zero (NOT border-replicate), so samples drifting off the edge fade out
+    exactly like the reference CUDA deform_conv."""
     b, h, w, c = img.shape
     y0 = jnp.floor(yy)
     x0 = jnp.floor(xx)
@@ -41,13 +45,15 @@ def _bilinear_sample(img, yy, xx):
     wx = xx - x0
 
     def gather(yi, xi):
-        yi = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-        xi = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        valid = (yi >= 0) & (yi <= h - 1) & (xi >= 0) & (xi <= w - 1)
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
         flat = img.reshape(b, h * w, c)
-        idx = yi * w + xi  # [B,H,W]
-        return jnp.take_along_axis(
+        idx = yc * w + xc  # [B,H,W]
+        vals = jnp.take_along_axis(
             flat, idx.reshape(b, h * w, 1), axis=1
         ).reshape(b, h, w, c)
+        return vals * valid[..., None].astype(img.dtype)
 
     v00 = gather(y0, x0)
     v01 = gather(y0, x0 + 1)
@@ -64,7 +70,8 @@ def _bilinear_sample(img, yy, xx):
 
 
 class DeformConv3x3(nn.Module):
-    """Offset-driven 3x3 deformable conv (DCNv1 semantics, 1 group)."""
+    """Offset-driven 3x3 deformable conv (DCNv1 semantics, 1 group,
+    no bias — the reference CUDA DeformConv has none, DFnet.py:115)."""
 
     feats: int
     dtype: jnp.dtype = jnp.float32
@@ -76,7 +83,6 @@ class DeformConv3x3(nn.Module):
         kern = self.param(
             "kernel", nn.initializers.lecun_normal(), (9, c, self.feats)
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.feats,))
         gy, gx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
         gy = gy[None].astype(jnp.float32)
         gx = gx[None].astype(jnp.float32)
@@ -93,7 +99,7 @@ class DeformConv3x3(nn.Module):
                     "bhwc,cf->bhwf", sampled, kern[k].astype(jnp.float32)
                 )
                 k += 1
-        return (out + bias).astype(x.dtype)
+        return out.astype(x.dtype)
 
 
 class _ADAMD(nn.Module):
