@@ -73,6 +73,96 @@ def _scan_chunk_kernel(u_ref, dt_ref, a_ref, b_ref, c_ref, y_ref, h_carry, *, T,
     h_carry[:] = jax.lax.fori_loop(0, inner, body, h_carry[:])
 
 
+def _chunk_scan_flat(dA, dBx, Cf, e2, h0, *, T, N, D):
+    """Work-efficient two-level inclusive scan in flat-lane layout.
+
+    dA/dBx/Cf: [T, N*D] (n-major, d-minor flattening — all 128-lane tiles
+    fully packed when N*D % 128 == 0, vs ~62% utilization with D=80 on
+    the lane axis); e2: [N*D, D] one-hot segment-sum matrix; h0: [1, N*D].
+    Returns (y [T, D], new h0 [1, N*D]). The n-reduction runs on the MXU
+    (Mosaic cannot shape-cast the lane dim back to [.., N, D])."""
+    ND = N * D
+    S = 8 if T % 8 == 0 and T >= 64 else 1
+    M = T // S
+    a4 = dA.reshape(M, S, ND)
+    b4 = dBx.reshape(M, S, ND)
+    c4 = Cf.reshape(M, S, ND)
+    sa = [a4[:, s] for s in range(S)]
+    sb = [b4[:, s] for s in range(S)]
+    for s in range(1, S):
+        sb[s] = sb[s] + sa[s] * sb[s - 1]
+        sa[s] = sa[s] * sa[s - 1]
+    ta, tb = sa[S - 1], sb[S - 1]
+    shift = 1
+    while shift < M:
+        pa = jnp.concatenate(
+            [jnp.ones((shift, ND), jnp.float32), ta[: M - shift]], axis=0
+        )
+        pb = jnp.concatenate(
+            [jnp.zeros((shift, ND), jnp.float32), tb[: M - shift]], axis=0
+        )
+        tb = tb + ta * pb
+        ta = ta * pa
+        shift *= 2
+    pstate = jnp.concatenate([h0, tb[: M - 1] + ta[: M - 1] * h0], axis=0)
+    hc = jnp.stack(
+        [(sb[s] + sa[s] * pstate) * c4[:, s] for s in range(S)], axis=1
+    ).reshape(T, ND)
+    y = jax.lax.dot_general(
+        hc, e2, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [T, D] — segment-sum over n via one-hot MXU matmul
+    return y, (tb[M - 1] + ta[M - 1] * h0[0])[None]
+
+
+def _scan_chunk_kernel_flat(u_ref, dt_ref, a_ref, b_ref, c_ref, y_ref, h_carry,
+                            *, T, inner, N, pre_softplus=False):
+    """Flat-lane variant of _scan_chunk_kernel: the (state, channel) pair
+    axis rides the 128-lane dimension fully packed. h_carry: [1, N*D]."""
+    li = pl.program_id(1)
+
+    @pl.when(li == 0)
+    def _():
+        h_carry[:] = jnp.zeros_like(h_carry)
+
+    A_flat = a_ref[:].astype(jnp.float32)  # [1, N*D], n-major
+    ND = A_flat.shape[1]
+    D = ND // N
+
+    # one-hot broadcast/reduce matrices built from iota (no lane reshapes):
+    # eb[n, n*D+d] = 1 spreads [T, N] across the flat axis on the MXU;
+    # e2[n*D+d, d] = 1 segment-sums the flat axis back to [T, D]
+    lane_b = jax.lax.broadcasted_iota(jnp.int32, (N, ND), 1)
+    row_b = jax.lax.broadcasted_iota(jnp.int32, (N, ND), 0)
+    eb = (lane_b // D == row_b).astype(jnp.float32)
+    row_2 = jax.lax.broadcasted_iota(jnp.int32, (ND, D), 0)
+    lane_2 = jax.lax.broadcasted_iota(jnp.int32, (ND, D), 1)
+    e2 = (row_2 % D == lane_2).astype(jnp.float32)
+
+    def body(k, h0):
+        sl = pl.ds(k * T, T)
+        u = u_ref[0, sl, :].astype(jnp.float32)    # [T, D]
+        dt = dt_ref[0, sl, :].astype(jnp.float32)  # [T, D]
+        if pre_softplus:
+            dt = jax.nn.softplus(dt)
+        Bc = b_ref[0, sl, :].astype(jnp.float32)   # [T, N]
+        Cc = c_ref[0, sl, :].astype(jnp.float32)   # [T, N]
+
+        dtf = pltpu.repeat(dt, N, axis=1)              # [T, N*D]
+        wf = pltpu.repeat(dt * u, N, axis=1)
+        bcast = lambda m: jax.lax.dot_general(
+            m, eb, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dA = jnp.exp(dtf * A_flat)
+        dBx = bcast(Bc) * wf
+        y, h_new = _chunk_scan_flat(dA, dBx, bcast(Cc), e2, h0, T=T, N=N, D=D)
+        y_ref[0, sl, :] = y.astype(y_ref.dtype)
+        return h_new
+
+    h_carry[:] = jax.lax.fori_loop(0, inner, body, h_carry[:])
+
+
 def _pick_inner(n_chunks: int, max_inner: int = 16) -> int:
     """Largest divisor of n_chunks that is <= max_inner (VMEM budget)."""
     for d in range(min(max_inner, n_chunks), 0, -1):
@@ -82,35 +172,56 @@ def _pick_inner(n_chunks: int, max_inner: int = 16) -> int:
 
 
 def _scan_pallas_raw(u, delta, A, Bc, Cc, chunk: int = 256, interpret: bool = False,
-                     pre_softplus: bool = False):
+                     pre_softplus: bool = False, flat: bool = False):
+    """flat=True selects the [T, N*D] flat-lane kernel — measured SLOWER
+    on v5e (7.2 vs 4.2 ms at B8/L25600/Di80/N16): the one-hot MXU
+    broadcasts/segment-sums and halved inner blocking cost more than the
+    80->128 lane padding they remove. Kept for narrow-D configs and as a
+    recorded negative result (PERF.md)."""
     B, L, D = u.shape
     N = A.shape[1]
     chunk = min(chunk, L)
     assert L % chunk == 0, f"L={L} % chunk={chunk} != 0 (pad upstream)"
-    inner = _pick_inner(L // chunk)
+    flat = flat and (N * D) % 128 == 0
+    # flat kernel keeps [T, N*D] f32 temporaries + the one-hot matrices in
+    # VMEM; inner=16 blocks are ~200KB over the 16MB scoped budget
+    inner = _pick_inner(L // chunk, max_inner=8 if flat else 16)
     blk = chunk * inner
     grid = (B, L // blk)
 
     def idx_bt(i, j):
         return (i, j, 0)
+    if flat:
+        kern = functools.partial(
+            _scan_chunk_kernel_flat, T=chunk, inner=inner, N=N,
+            pre_softplus=pre_softplus,
+        )
+        a_arg = A.T.reshape(1, N * D)
+        a_spec = pl.BlockSpec((1, N * D), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+        scratch = pltpu.VMEM((1, N * D), jnp.float32)
+    else:
+        kern = functools.partial(
+            _scan_chunk_kernel, T=chunk, inner=inner, pre_softplus=pre_softplus
+        )
+        a_arg = A.T
+        a_spec = pl.BlockSpec((N, D), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+        scratch = pltpu.VMEM((N, D), jnp.float32)
 
     y = pl.pallas_call(
-        functools.partial(
-            _scan_chunk_kernel, T=chunk, inner=inner, pre_softplus=pre_softplus
-        ),
+        kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, blk, D), idx_bt, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, blk, D), idx_bt, memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, D), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            a_spec,
             pl.BlockSpec((1, blk, N), idx_bt, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, blk, N), idx_bt, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, blk, D), idx_bt, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, L, D), u.dtype),
-        scratch_shapes=[pltpu.VMEM((N, D), jnp.float32)],
+        scratch_shapes=[scratch],
         interpret=interpret,
-    )(u, delta, A.T, Bc, Cc)
+    )(u, delta, a_arg, Bc, Cc)
     return y
 
 

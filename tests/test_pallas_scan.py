@@ -51,6 +51,7 @@ def test_fused_gradient_matches_reference_impl():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_mamba_inner_fused_matches_ref():
     """Fused inner-pipeline kernel (scan_impl='fused') vs pure-JAX ref."""
     from lfsr_tpu.ops.pallas_scan import mamba_inner_fused, mamba_inner_ref
@@ -77,3 +78,19 @@ def test_mamba_inner_fused_matches_ref():
     g_fus = jax.grad(lambda *a: jnp.sum(mamba_inner_fused(*a) ** 2), argnums=(0, 4))(*args)
     for gr, gf in zip(g_ref, g_fus):
         assert float(jnp.max(jnp.abs(gr - gf))) < 1e-4
+
+
+def test_pallas_flat_lane_path_matches_reference():
+    # explicit opt-in variant (measured slower than the padded default)
+    from lfsr_tpu.ops.pallas_scan import _scan_pallas_raw
+    import jax
+
+    u, delta, A, Bc, Cc, D_ = _mk(B=2, L=256, D=32, N=4)
+    ref = selective_scan(u, delta, A, Bc, Cc, jnp.zeros_like(D_) * 0)
+    ref = selective_scan(u, delta, A, Bc, Cc, None)
+    got = _scan_pallas_raw(u, delta, A, Bc, Cc,
+                           interpret=jax.default_backend() != "tpu", flat=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+
