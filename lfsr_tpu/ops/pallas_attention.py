@@ -44,15 +44,17 @@ def _win_mha_kernel(
     x_ref, wqkv_ref, wout_ref, lng_ref, lnb_ref, bias_ref, scale_ref, y_ref,
     *, ws: int, heads: int, eps: float,
 ):
-    """One (batch row, row-of-windows) grid step: [1, ws, W, C] block."""
-    x = x_ref[0].astype(jnp.float32)              # [ws, W, C]
+    """One (batch row, rows-of-windows) grid step: [1, R*ws, W, C] block."""
+    x = x_ref[0].astype(jnp.float32)              # [R*ws, W, C]
     H, W, C = x.shape
-    nw = W // ws
+    R = H // ws
+    nww = W // ws
+    nw = R * nww
     T = ws * ws
     hd = C // heads
 
-    # --- window partition: [ws, nw, ws, C] -> [nw, T, C] ----------------
-    xw = x.reshape(ws, nw, ws, C).transpose(1, 0, 2, 3).reshape(nw, T, C)
+    # --- window partition: [R, ws, nww, ws, C] -> [nw, T, C] -------------
+    xw = x.reshape(R, ws, nww, ws, C).transpose(0, 2, 1, 3, 4).reshape(nw, T, C)
 
     # --- LayerNorm over C (f32) -----------------------------------------
     mu = jnp.mean(xw, axis=-1, keepdims=True)
@@ -110,22 +112,25 @@ def _win_mha_kernel(
     ).reshape(nw, T, C)
     out = out * scale_ref[0, 0]
 
-    # --- un-window: [nw, ws, ws, C] -> [ws, W, C], residual add ----------
-    y = out.reshape(nw, ws, ws, C).transpose(1, 0, 2, 3).reshape(ws, W, C)
+    # --- un-window: [R, nww, ws, ws, C] -> [R*ws, W, C], residual add ----
+    y = out.reshape(R, nww, ws, ws, C).transpose(0, 2, 1, 3, 4).reshape(H, W, C)
     y_ref[0] = (x + y).astype(y_ref.dtype)
 
 
 def _win_mha_raw(x, wqkv, wout, ln_g, ln_b, bias, attn_scale, *,
-                 ws: int, heads: int, eps: float, interpret: bool):
+                 ws: int, heads: int, eps: float, interpret: bool,
+                 rows_per_block: int = 2):
     B, H, W, C = x.shape
     T = ws * ws
-    grid = (B, H // ws)
+    nrows = H // ws
+    R = rows_per_block if nrows % rows_per_block == 0 else 1
+    grid = (B, nrows // R)
 
     return pl.pallas_call(
         functools.partial(_win_mha_kernel, ws=ws, heads=heads, eps=eps),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, ws, W, C), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, R * ws, W, C), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, 3 * C), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, C), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
@@ -135,7 +140,7 @@ def _win_mha_raw(x, wqkv, wout, ln_g, ln_b, bias, attn_scale, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, ws, W, C), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, R * ws, W, C), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
         interpret=interpret,
