@@ -124,14 +124,42 @@ class CrossScanSSM(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from lfsr_tpu.ops import pallas_layout as pll
+
         b, h, w, c = x.shape
         g = c // 4
+        dt = self.dtype
 
-        # Per-group directional relayouts. Measured both ways on v5e:
-        # transforming full-width tensors then lane-slicing materializes
-        # 3 extra 52 MB tensors per block (+20 ms/model); the narrow
-        # per-group strided copies below are cheaper despite poor stride
-        # patterns. (Profile notes in PERF.md.)
+        ln = nn.LayerNorm(dtype=dt)
+        mamba = Mamba(
+            d_model=c,
+            d_state=self.d_state,
+            d_conv=self.d_conv,
+            expand=self.expand,
+            dtype=dt,
+            name="mamba",
+        )
+        mix = conv(c, 1, use_bias=False, dtype=dt)
+        scale = self.param("scale", nn.initializers.constant(0.15), (1,))
+
+        if pll._gather_supported(x):
+            # Fused path: the 4-way permute + LayerNorm run as ONE Pallas
+            # pass (no permuted copies in HBM), and the un-permute + 1x1
+            # mixing conv + scaled residual as another (ops/pallas_layout).
+            # Materialize the (param-compatible) submodule variables.
+            _ = mix(ln(jnp.zeros((1, 1, 1, c), dt)))
+            gamma = ln.variables["params"]["scale"]
+            beta = ln.variables["params"]["bias"]
+            w1 = mix.variables["params"]["kernel"].reshape(c, c)
+            seq = pll.cross_scan_gather(x, gamma, beta)
+            out = mamba(seq)
+            return pll.cross_scan_scatter(out, x, w1.astype(dt), scale)
+
+        # XLA fallback (non-square maps / non-TPU): per-group directional
+        # relayouts. Measured both ways on v5e: transforming full-width
+        # tensors then lane-slicing materializes 3 extra 52 MB tensors per
+        # block (+20 ms/model); the narrow per-group strided copies below
+        # are cheaper despite poor stride patterns. (PERF.md.)
         gs = [x[..., :g], x[..., g : 2 * g], x[..., 2 * g : 3 * g], x[..., 3 * g :]]
         s0 = gs[0].reshape(b, h * w, g)
         s1 = gs[1].reshape(b, h * w, g)[:, ::-1]
@@ -139,15 +167,8 @@ class CrossScanSSM(nn.Module):
         s3 = gs[3].transpose(0, 2, 1, 3).reshape(b, h * w, c - 3 * g)[:, ::-1]
 
         seq = jnp.concatenate([s0, s1, s2, s3], axis=-1)
-        seq = nn.LayerNorm(dtype=self.dtype)(seq)
-        out = Mamba(
-            d_model=c,
-            d_state=self.d_state,
-            d_conv=self.d_conv,
-            expand=self.expand,
-            dtype=self.dtype,
-            name="mamba",
-        )(seq)
+        seq = ln(seq)
+        out = mamba(seq)
 
         o0, o1, o2, o3 = (
             out[..., :g],
@@ -161,8 +182,7 @@ class CrossScanSSM(nn.Module):
         r3 = o3[:, ::-1].reshape(b, w, h, c - 3 * g).transpose(0, 2, 1, 3)
         y = jnp.concatenate([r0, r1, r2, r3], -1)
 
-        y = conv(c, 1, use_bias=False, dtype=self.dtype)(y)
-        scale = self.param("scale", nn.initializers.constant(0.15), (1,))
+        y = mix(y)
         return x + scale * y
 
 

@@ -90,9 +90,13 @@ class Mamba(nn.Module):
             D_skip = jax.lax.stop_gradient(D_skip)
         A = -jnp.exp(A_log)
 
+        w_out = self.param(
+            "out_proj_kernel", nn.initializers.lecun_normal(), (Di, D)
+        )
+
         L = xs.shape[1]
         on_tpu = jax.default_backend() == "tpu"
-        if self.scan_impl == "pallas" and on_tpu and L % 128 == 0:
+        if self.scan_impl in ("pallas", "gated") and on_tpu and L % 128 == 0:
             # XLA dense ops + Pallas scan (fastest measured split)
             xc = self._conv_silu(xs, w_conv, b_conv, dt)
             dbc = xc @ w_x.astype(dt)
@@ -101,9 +105,21 @@ class Mamba(nn.Module):
             # already quantized dt before softplus either way)
             dt_raw = dbc[..., :R] @ w_dt.astype(dt) + b_dt.astype(dt)
             Bc, Cc = dbc[..., R : R + N], dbc[..., R + N :]
+            chunk = 256 if L % 256 == 0 else 128
+            if self.scan_impl == "gated":
+                # epilogue (D-skip + silu(z) gate + out_proj) fused into
+                # the kernel — measured NEUTRAL on v5e (2.79 vs 2.64 ms at
+                # B8/L25600/Di80): the kernel is VPU-bound, so the added
+                # in-kernel epilogue work costs what the removed
+                # [B, L, Di] HBM round-trips save. Kept opt-in (PERF.md).
+                from lfsr_tpu.ops.pallas_scan import scan_gated_fused
+
+                return scan_gated_fused(
+                    xc, dt_raw, A, Bc, Cc, z, D_skip, w_out.astype(dt),
+                    chunk, True
+                )
             from lfsr_tpu.ops.pallas_scan import selective_scan_fused
 
-            chunk = 256 if L % 256 == 0 else 128
             y = selective_scan_fused(
                 xc, dt_raw, A, Bc, Cc, D_skip, chunk, True
             )
@@ -117,9 +133,6 @@ class Mamba(nn.Module):
                 xs, z, w_conv[:, 0, :], b_conv, w_x, w_dt, b_dt, A, D_skip
             )
 
-        w_out = self.param(
-            "out_proj_kernel", nn.initializers.lecun_normal(), (Di, D)
-        )
         return y.astype(dt) @ w_out.astype(dt)
 
     @staticmethod

@@ -163,6 +163,136 @@ def _scan_chunk_kernel_flat(u_ref, dt_ref, a_ref, b_ref, c_ref, y_ref, h_carry,
     h_carry[:] = jax.lax.fori_loop(0, inner, body, h_carry[:])
 
 
+def _scan_gated_kernel(u_ref, dt_ref, a_ref, b_ref, c_ref, z_ref, dskip_ref,
+                       wout_ref, o_ref, h_carry, *, T, inner, pre_softplus=False):
+    """Scan + epilogue in one pass: y = scan(u, dt, A, B, C); then
+    out = ((y + u*D_skip) * silu(z)) @ W_out, written per chunk.
+
+    Fusing the epilogue removes three full [B, L, Di] HBM round-trips
+    (scan output, gate product, out-proj input) that XLA otherwise
+    materializes between the custom-call and the dense op — measured
+    ~0.4 ms/block at the eval point (see PERF.md round-2 log).
+    """
+    li = pl.program_id(1)
+
+    @pl.when(li == 0)
+    def _():
+        h_carry[:] = jnp.zeros_like(h_carry)
+
+    A = a_ref[:].astype(jnp.float32)  # [N, D]
+    N, D = A.shape
+    Wout = wout_ref[:]  # [D, Dout] — dot runs in the weight dtype (bf16
+    # in the model), matching the unfused `y.astype(dt) @ w_out` numerics
+    dskip = dskip_ref[:].astype(jnp.float32)  # [1, D]
+
+    def body(k, h0):
+        sl = pl.ds(k * T, T)
+        u = u_ref[0, sl, :].astype(jnp.float32)    # [T, D]
+        dt = dt_ref[0, sl, :].astype(jnp.float32)  # [T, D]
+        if pre_softplus:
+            dt = jax.nn.softplus(dt)
+        Bc = b_ref[0, sl, :].astype(jnp.float32)   # [T, N]
+        Cc = c_ref[0, sl, :].astype(jnp.float32)   # [T, N]
+
+        dA = jnp.exp(dt[:, None, :] * A[None])        # [T, N, D]
+        dBx = Bc[:, :, None] * (dt * u)[:, None, :]   # [T, N, D]
+        y, h_new = _chunk_scan(dA, dBx, Cc, h0, T=T, N=N, D=D)
+        z = z_ref[0, sl, :].astype(jnp.float32)
+        y = (y + u * dskip) * (z * jax.nn.sigmoid(z))
+        o_ref[0, sl, :] = jnp.dot(
+            y.astype(Wout.dtype), Wout, preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+        return h_new
+
+    h_carry[:] = jax.lax.fori_loop(0, inner, body, h_carry[:])
+
+
+def _scan_gated_raw(u, delta, A, Bc, Cc, z, D_skip, Wout, chunk: int = 256,
+                    interpret: bool = False, pre_softplus: bool = False):
+    B, L, D = u.shape
+    N = A.shape[1]
+    Dout = Wout.shape[1]
+    chunk = min(chunk, L)
+    assert L % chunk == 0, f"L={L} % chunk={chunk} != 0 (pad upstream)"
+    inner = _pick_inner(L // chunk, max_inner=16)
+    blk = chunk * inner
+    grid = (B, L // blk)
+
+    def idx_bt(i, j):
+        return (i, j, 0)
+
+    def idx_w(i, j):
+        return (0, 0)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _scan_gated_kernel, T=chunk, inner=inner, pre_softplus=pre_softplus
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, blk, D), idx_bt, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, D), idx_bt, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, D), idx_w, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, N), idx_bt, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, N), idx_bt, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, D), idx_bt, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), idx_w, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, Dout), idx_w, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, blk, Dout), idx_bt, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, L, Dout), u.dtype),
+        scratch_shapes=[pltpu.VMEM((N, D), jnp.float32)],
+        interpret=interpret,
+    )(u, delta, A.T, Bc, Cc, z, D_skip[None], Wout)
+    return out
+
+
+def scan_gated_ref(u, delta, A, Bc, Cc, z, D_skip, Wout, pre_softplus=False):
+    """Pure-JAX reference of the gated-epilogue scan (backward + CPU)."""
+    f32 = jnp.float32
+    d = jax.nn.softplus(delta.astype(f32)) if pre_softplus else delta.astype(f32)
+    L = u.shape[1]
+    if L % 256 == 0 and L > 4096:
+        y = ssref.selective_scan_chunked(u, d, A, Bc, Cc, D_skip, chunk=256)
+    else:
+        y = ssref.selective_scan(u, d, A, Bc, Cc, D_skip)
+    y = y.astype(f32) * jax.nn.silu(z.astype(f32))
+    return jnp.einsum(
+        "bld,de->ble", y.astype(Wout.dtype), Wout
+    ).astype(u.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def scan_gated_fused(u, delta, A, Bc, Cc, z, D_skip, Wout, chunk: int = 256,
+                     pre_softplus: bool = False):
+    """Pallas scan with the Mamba epilogue fused in; reference gradients.
+
+    Computes ``((scan(u, dt, A, B, C) + u * D_skip) * silu(z)) @ W_out``
+    in one kernel. On non-TPU backends runs in interpret mode.
+    """
+    interpret = jax.default_backend() != "tpu"
+    return _scan_gated_raw(u, delta, A, Bc, Cc, z, D_skip, Wout,
+                           chunk=chunk, interpret=interpret,
+                           pre_softplus=pre_softplus)
+
+
+def _sg_fwd(u, delta, A, Bc, Cc, z, D_skip, Wout, chunk, pre_softplus):
+    return (
+        scan_gated_fused(u, delta, A, Bc, Cc, z, D_skip, Wout, chunk, pre_softplus),
+        (u, delta, A, Bc, Cc, z, D_skip, Wout),
+    )
+
+
+def _sg_bwd(chunk, pre_softplus, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: scan_gated_ref(*a, pre_softplus=pre_softplus), *res
+    )
+    return vjp(g)
+
+
+scan_gated_fused.defvjp(_sg_fwd, _sg_bwd)
+
+
 def _pick_inner(n_chunks: int, max_inner: int = 16) -> int:
     """Largest divisor of n_chunks that is <= max_inner (VMEM budget)."""
     for d in range(min(max_inner, n_chunks), 0, -1):

@@ -36,6 +36,62 @@ def test_fused_multi_chunk_carry():
     np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
 
 
+def test_scan_gated_matches_composed_oracle():
+    from lfsr_tpu.ops.pallas_scan import scan_gated_fused
+
+    u, delta, A, Bc, Cc, D_ = _mk()
+    B, L, D = u.shape
+    z = jnp.asarray(RNG.normal(size=(B, L, D)), jnp.float32)
+    Wout = jnp.asarray(RNG.normal(size=(D, 6)) * 0.3, jnp.float32)
+    got = np.asarray(scan_gated_fused(u, delta, A, Bc, Cc, z, D_, Wout, 64))
+    y = np.asarray(selective_scan_sequential(u, delta, A, Bc, Cc, D_))
+    zf = np.asarray(z)
+    want = (y * (zf / (1 + np.exp(-zf)))) @ np.asarray(Wout)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_scan_gated_pre_softplus():
+    from lfsr_tpu.ops.pallas_scan import scan_gated_fused
+
+    u, _, A, Bc, Cc, D_ = _mk(B=1, L=128, D=8, N=4)
+    B, L, D = u.shape
+    dt_raw = jnp.asarray(RNG.normal(size=(B, L, D)), jnp.float32)
+    z = jnp.asarray(RNG.normal(size=(B, L, D)), jnp.float32)
+    Wout = jnp.asarray(RNG.normal(size=(D, D)) * 0.3, jnp.float32)
+    got = np.asarray(
+        scan_gated_fused(u, dt_raw, A, Bc, Cc, z, D_, Wout, 64, True)
+    )
+    delta = jax.nn.softplus(dt_raw)
+    y = np.asarray(selective_scan_sequential(u, delta, A, Bc, Cc, D_))
+    zf = np.asarray(z)
+    want = (y * (zf / (1 + np.exp(-zf)))) @ np.asarray(Wout)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_scan_gated_gradients_match_reference():
+    from lfsr_tpu.ops.pallas_scan import scan_gated_fused, scan_gated_ref
+
+    u, delta, A, Bc, Cc, D_ = _mk(B=1, L=128, D=4, N=2)
+    B, L, D = u.shape
+    z = jnp.asarray(RNG.normal(size=(B, L, D)), jnp.float32)
+    Wout = jnp.asarray(RNG.normal(size=(D, D)) * 0.3, jnp.float32)
+
+    def f(impl):
+        def g(u_, z_, W_):
+            return jnp.sum(impl(u_, delta, A, Bc, Cc, z_, D_, W_, 64) ** 2)
+        return g
+
+    g1 = jax.grad(f(scan_gated_fused), argnums=(0, 1, 2))(u, z, Wout)
+    g2 = jax.grad(f(lambda *a: scan_gated_ref(*a[:8])), argnums=(0, 1, 2))(
+        u, z, Wout
+    )
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+        )
+
+
 @pytest.mark.slow
 def test_fused_gradient_matches_reference_impl():
     u, delta, A, Bc, Cc, D_ = _mk(B=1, L=128, D=4, N=2)
