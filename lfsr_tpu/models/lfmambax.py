@@ -47,6 +47,18 @@ def _dw(feats, kernel=3, dilation=1, name=None, dtype=None):
     )
 
 
+def _mix_kernel(mix: nn.Module, c_in: int, dt) -> jnp.ndarray:
+    """Materialize a 1x1 no-bias conv submodule and return its kernel as
+    [c_in, c_out] so callers can apply it as split matmuls.
+
+    XLA lowers ``conv1x1(concat(a, b))`` by materializing the padded
+    concat tensor in HBM (the `pad_maximum` fusions in the XProf trace);
+    ``a @ W[:ca] + b @ W[ca:]`` is the same linear map without the
+    round-trip. Params are identical either way."""
+    _ = mix(jnp.zeros((1, 1, 1, c_in), dt))
+    return mix.variables["params"]["kernel"].reshape(c_in, -1).astype(dt)
+
+
 class ECA(nn.Module):
     """Efficient channel attention (V8:816-830)."""
 
@@ -74,12 +86,30 @@ class IFE(nn.Module):
         c3 = self.feats // 3
         dt = self.dtype
         f3 = conv(c3, 3, padding=1, dtype=dt)(x)
-        f5 = conv(c3, 1, dtype=dt)(conv(1, 5, padding=2, use_bias=False, dtype=dt)(x))
-        f7 = conv(self.feats - 2 * c3, 1, dtype=dt)(
-            conv(1, 7, padding=3, use_bias=False, dtype=dt)(x)
+        # the two single-output-lane large-kernel convs run as ONE
+        # 2-channel 7x7 conv (the 5x5 kernel zero-padded to 7x7) — a
+        # 1-lane conv wastes 127/128 lanes, and XLA can't merge them
+        k5_m = conv(1, 5, padding=2, use_bias=False, dtype=dt)
+        k7_m = conv(1, 7, padding=3, use_bias=False, dtype=dt)
+        _ = k5_m(jnp.zeros((1, 8, 8, x.shape[-1]), dt))
+        _ = k7_m(jnp.zeros((1, 8, 8, x.shape[-1]), dt))
+        k5 = k5_m.variables["params"]["kernel"]
+        k7 = k7_m.variables["params"]["kernel"]
+        k57 = jnp.concatenate(
+            [jnp.pad(k5, ((1, 1), (1, 1), (0, 0), (0, 0))), k7], axis=-1
+        ).astype(dt)
+        p57 = jax.lax.conv_general_dilated(
+            x.astype(dt), k57, (1, 1), [(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        fused = conv(self.feats, 1, use_bias=False, dtype=dt)(
-            jnp.concatenate([f3, f5, f7], -1)
+        f5 = conv(c3, 1, dtype=dt)(p57[..., :1])
+        f7 = conv(self.feats - 2 * c3, 1, dtype=dt)(p57[..., 1:])
+        fuse_m = conv(self.feats, 1, use_bias=False, dtype=dt)
+        wf = _mix_kernel(fuse_m, self.feats, dt)
+        fused = (
+            f3.astype(dt) @ wf[:c3]
+            + f5.astype(dt) @ wf[c3 : 2 * c3]
+            + f7.astype(dt) @ wf[2 * c3 :]
         )
         enh = _dw(self.feats, dtype=dt)(fused)
         enh = lrelu(conv(self.feats, 1, use_bias=False, dtype=dt)(enh))
@@ -101,10 +131,20 @@ class MultiScaleLocal(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.feats // 4
-        head = conv(c, 1, use_bias=False, dtype=self.dtype)(x[..., :c])
-        rest = _dw(self.feats - c, dtype=self.dtype)(x[..., c:])
-        y = jnp.concatenate([head, rest], -1)
-        y = lrelu(conv(self.feats, 1, use_bias=False, dtype=self.dtype)(y))
+        dt = self.dtype
+        head_m = conv(c, 1, use_bias=False, dtype=dt)
+        rest = _dw(self.feats - c, dtype=dt)(x[..., c:].astype(dt))
+        mix = conv(self.feats, 1, use_bias=False, dtype=dt)
+        # fold the 16-lane head conv through the mixing conv and split the
+        # concat: lrelu(mix(concat(head(x16), rest))) ==
+        # lrelu(x16 @ (Wh @ Wm[:c]) + rest @ Wm[c:]) — removes a 1/8-lane
+        # conv, a slice, and the padded concat round-trip
+        _ = head_m(jnp.zeros((1, 1, 1, c), dt))
+        wh = head_m.variables["params"]["kernel"].reshape(c, c).astype(dt)
+        wm = _mix_kernel(mix, self.feats, dt)
+        y = lrelu(
+            x[..., :c].astype(dt) @ (wh @ wm[:c]) + rest @ wm[c:]
+        )
         return y + x
 
 
@@ -203,9 +243,9 @@ class LFVSSMBlock(nn.Module):
         xn = nn.LayerNorm(dtype=dt)(x)
         local = MultiScaleLocal(self.feats, dt)(xn)
         glob = CrossScanSSM(self.feats, self.d_state, self.d_conv, self.expand, dt)(xn)
-        y = conv(self.feats, 1, use_bias=False, dtype=dt)(
-            jnp.concatenate([local, glob], -1)
-        )
+        fuse = conv(self.feats, 1, use_bias=False, dtype=dt)
+        wf = _mix_kernel(fuse, 2 * self.feats, dt)
+        y = local.astype(dt) @ wf[: self.feats] + glob.astype(dt) @ wf[self.feats :]
         y = ECA(dtype=dt)(y)
         y = nn.Dropout(0.1, deterministic=not train)(y)
         rs = self.param(
@@ -364,17 +404,22 @@ class ProgressiveFusion(nn.Module):
     @nn.compact
     def __call__(self, blocks):
         dt, c = self.dtype, self.feats
-        stages = [
-            conv(c, 1, use_bias=False, dtype=dt, name=f"proj_s{i+1}")(
-                jnp.concatenate(blocks[3 * i : 3 * i + 3], -1)
+        # concat+1x1 run as split matmuls (see _mix_kernel)
+        stages = []
+        for i in range(4):
+            w = _mix_kernel(
+                conv(c, 1, use_bias=False, dtype=dt, name=f"proj_s{i+1}"), 3 * c, dt
             )
-            for i in range(4)
-        ]
+            stages.append(
+                sum(blocks[3 * i + j].astype(dt) @ w[j * c : (j + 1) * c]
+                    for j in range(3))
+            )
         wts = self.param("stage_weights", nn.initializers.constant(0.25), (4,))
         wts = nn.softmax(wts)
         weighted = sum(wts[i] * stages[i] for i in range(4))
 
-        cross = conv(c, 1, use_bias=False, dtype=dt)(jnp.concatenate(stages, -1))
+        wc = _mix_kernel(conv(c, 1, use_bias=False, dtype=dt), 4 * c, dt)
+        cross = sum(stages[i].astype(dt) @ wc[i * c : (i + 1) * c] for i in range(4))
         cross = lrelu(cross)
         cross = _dw(c, dtype=dt)(cross)
         cross = conv(c, 1, use_bias=False, dtype=dt)(cross)

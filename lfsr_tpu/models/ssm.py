@@ -100,11 +100,6 @@ class Mamba(nn.Module):
             # XLA dense ops + Pallas scan (fastest measured split)
             xc = self._conv_silu(xs, w_conv, b_conv, dt)
             dbc = xc @ w_x.astype(dt)
-            # pre-activation delta streams in model dtype; softplus runs
-            # in f32 inside the kernel (same numerics: the bf16 matmul
-            # already quantized dt before softplus either way)
-            dt_raw = dbc[..., :R] @ w_dt.astype(dt) + b_dt.astype(dt)
-            Bc, Cc = dbc[..., R : R + N], dbc[..., R + N :]
             chunk = 256 if L % 256 == 0 else 128
             if self.scan_impl == "gated":
                 # epilogue (D-skip + silu(z) gate + out_proj) fused into
@@ -114,15 +109,18 @@ class Mamba(nn.Module):
                 # [B, L, Di] HBM round-trips save. Kept opt-in (PERF.md).
                 from lfsr_tpu.ops.pallas_scan import scan_gated_fused
 
+                dt_raw = dbc[..., :R] @ w_dt.astype(dt) + b_dt.astype(dt)
+                Bc, Cc = dbc[..., R : R + N], dbc[..., R + N :]
                 return scan_gated_fused(
                     xc, dt_raw, A, Bc, Cc, z, D_skip, w_out.astype(dt),
                     chunk, True
                 )
-            from lfsr_tpu.ops.pallas_scan import selective_scan_fused
+            # dt projection + softplus + B/C extraction run INSIDE the
+            # kernel off the raw x_proj output — avoids the [B, L, Di]
+            # dt_raw round-trip and the narrow [B, L, N] lane extractions
+            from lfsr_tpu.ops.pallas_scan import selective_scan_proj
 
-            y = selective_scan_fused(
-                xc, dt_raw, A, Bc, Cc, D_skip, chunk, True
-            )
+            y = selective_scan_proj(xc, dbc, w_dt, b_dt, A, D_skip, chunk)
             y = y.astype(jnp.float32) * jax.nn.silu(z.astype(jnp.float32))
         elif self.scan_impl == "fused" and on_tpu and L % 128 == 0:
             y = mamba_inner_fused(

@@ -163,6 +163,127 @@ def _scan_chunk_kernel_flat(u_ref, dt_ref, a_ref, b_ref, c_ref, y_ref, h_carry,
     h_carry[:] = jax.lax.fori_loop(0, inner, body, h_carry[:])
 
 
+def _scan_proj_kernel(u_ref, dbc_ref, wdt_ref, bdt_ref, a_ref, y_ref, h_carry,
+                      *, T, inner, R):
+    """Scan with the dt projection and B/C extraction folded in.
+
+    dbc is the raw x_proj output [blk, R+2N]: lanes [0,R) are the
+    low-rank dt, [R,R+N) B, [R+N,R+2N) C. Feeding it whole removes the
+    narrow [B, L, N] lane-extraction fusions + their layout copies and
+    the [B, L, D] dt_raw round-trip that XLA otherwise materializes
+    between x_proj and the kernel (~0.3 ms/block at the eval point).
+    """
+    li = pl.program_id(1)
+
+    @pl.when(li == 0)
+    def _():
+        h_carry[:] = jnp.zeros_like(h_carry)
+
+    A = a_ref[:].astype(jnp.float32)  # [N, D]
+    N, D = A.shape
+    Wdt = wdt_ref[:].astype(jnp.float32)  # [R, D]
+    bdt = bdt_ref[:].astype(jnp.float32)  # [1, D]
+
+    def body(k, h0):
+        sl = pl.ds(k * T, T)
+        u = u_ref[0, sl, :].astype(jnp.float32)       # [T, D]
+        dbc = dbc_ref[0, sl, :].astype(jnp.float32)   # [T, R+2N]
+        dt = jax.nn.softplus(
+            jnp.dot(dbc[:, :R], Wdt, preferred_element_type=jnp.float32) + bdt
+        )
+        Bc = dbc[:, R : R + N]
+        Cc = dbc[:, R + N : R + 2 * N]
+
+        dA = jnp.exp(dt[:, None, :] * A[None])        # [T, N, D]
+        dBx = Bc[:, :, None] * (dt * u)[:, None, :]   # [T, N, D]
+        y, h_new = _chunk_scan(dA, dBx, Cc, h0, T=T, N=N, D=D)
+        y_ref[0, sl, :] = y.astype(y_ref.dtype)
+        return h_new
+
+    h_carry[:] = jax.lax.fori_loop(0, inner, body, h_carry[:])
+
+
+def _scan_proj_raw(u, dbc, Wdt, bdt, A, chunk: int = 256, interpret: bool = False):
+    B, L, D = u.shape
+    N = A.shape[1]
+    R = Wdt.shape[0]
+    chunk = min(chunk, L)
+    assert L % chunk == 0, f"L={L} % chunk={chunk} != 0 (pad upstream)"
+    inner = _pick_inner(L // chunk, max_inner=16)
+    blk = chunk * inner
+    grid = (B, L // blk)
+
+    def idx_bt(i, j):
+        return (i, j, 0)
+
+    def idx_w(i, j):
+        return (0, 0)
+
+    return pl.pallas_call(
+        functools.partial(_scan_proj_kernel, T=chunk, inner=inner, R=R),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, blk, D), idx_bt, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, R + 2 * N), idx_bt, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, D), idx_w, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), idx_w, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, D), idx_w, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, blk, D), idx_bt, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, L, D), u.dtype),
+        scratch_shapes=[pltpu.VMEM((N, D), jnp.float32)],
+        interpret=interpret,
+    )(u, dbc, Wdt, bdt[None], A.T)
+
+
+def scan_proj_ref(u, dbc, Wdt, bdt, A, D_skip):
+    """Pure-JAX reference of the dbc-input scan (backward + CPU path)."""
+    f32 = jnp.float32
+    R = Wdt.shape[0]
+    N = A.shape[1]
+    L = u.shape[1]
+    delta = jax.nn.softplus(
+        jnp.einsum("blr,rd->bld", dbc[..., :R].astype(f32), Wdt.astype(f32))
+        + bdt.astype(f32)
+    )
+    Bc = dbc[..., R : R + N].astype(f32)
+    Cc = dbc[..., R + N : R + 2 * N].astype(f32)
+    if L % 256 == 0 and L > 4096:
+        return ssref.selective_scan_chunked(u, delta, A, Bc, Cc, D_skip, chunk=256)
+    return ssref.selective_scan(u, delta, A, Bc, Cc, D_skip)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def selective_scan_proj(u, dbc, Wdt, bdt, A, D_skip, chunk: int = 256):
+    """Pallas scan taking the raw x_proj output; reference gradients.
+
+    Computes ``selective_scan(u, softplus(dbc[..,:R] @ Wdt + bdt), A,
+    dbc[..,R:R+N], dbc[..,R+N:], D_skip)`` with the dt projection and
+    B/C lane extraction inside the kernel.
+    """
+    interpret = jax.default_backend() != "tpu"
+    y = _scan_proj_raw(u, dbc, Wdt, bdt, A, chunk=chunk, interpret=interpret)
+    if D_skip is not None:
+        y = (y.astype(jnp.float32)
+             + u.astype(jnp.float32) * D_skip[None, None]).astype(u.dtype)
+    return y
+
+
+def _sp_fwd(u, dbc, Wdt, bdt, A, D_skip, chunk):
+    return (
+        selective_scan_proj(u, dbc, Wdt, bdt, A, D_skip, chunk),
+        (u, dbc, Wdt, bdt, A, D_skip),
+    )
+
+
+def _sp_bwd(chunk, res, g):
+    _, vjp = jax.vjp(scan_proj_ref, *res)
+    return vjp(g)
+
+
+selective_scan_proj.defvjp(_sp_fwd, _sp_bwd)
+
+
 def _scan_gated_kernel(u_ref, dt_ref, a_ref, b_ref, c_ref, z_ref, dskip_ref,
                        wout_ref, o_ref, h_carry, *, T, inner, pre_softplus=False):
     """Scan + epilogue in one pass: y = scan(u, dt, A, B, C); then

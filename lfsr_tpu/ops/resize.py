@@ -214,6 +214,37 @@ def imresize_jax(img: jnp.ndarray, scale=None, out_shape=None, method: str = "bi
     return x
 
 
+def _plan_matrix(w, idx, in_len: int) -> np.ndarray:
+    """Densify a (weights, indices) resample plan into an [out, in] matrix.
+
+    Edge-clamped taps hit duplicate indices; np.add.at accumulates them
+    exactly as the tap-sum would."""
+    w = np.asarray(w, np.float32)
+    idx = np.asarray(idx)
+    out_len, P = w.shape
+    M = np.zeros((out_len, in_len), np.float32)
+    np.add.at(M, (np.repeat(np.arange(out_len), P), idx.reshape(-1)), w.reshape(-1))
+    return M
+
+
+def _apply_plan_dense_jnp(x: jnp.ndarray, w, idx, axis: int) -> jnp.ndarray:
+    """Apply a resample plan as ONE dense [out, in] MXU contraction.
+
+    The gather+tap-einsum formulation materializes an [..., out, P] taps
+    tensor at terrible effective bandwidth (~40 GB/s measured for the
+    flagship's 4x residual upsample); a dense matmul against the
+    densified plan is the same linear map on the MXU (f32 HIGHEST, so
+    torch-parity tolerances hold; summation order differs only by exact
+    zeros and tap order)."""
+    M = jnp.asarray(_plan_matrix(w, idx, x.shape[axis]))
+    xt = jnp.moveaxis(x, axis, -1)
+    out = jnp.einsum(
+        "...i,oi->...o", xt.astype(jnp.float32), M,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.moveaxis(out, -1, axis).astype(x.dtype)
+
+
 def interpolate(x: jnp.ndarray, scale_factor: int, method: str = "bicubic") -> jnp.ndarray:
     """torch.nn.functional.interpolate(align_corners=False) on NCHW arrays.
 
@@ -224,6 +255,6 @@ def interpolate(x: jnp.ndarray, scale_factor: int, method: str = "bicubic") -> j
     H, W = x.shape[-2], x.shape[-1]
     wh, ih = _torch_plan(H, int(H * scale_factor), method)
     ww, iw = _torch_plan(W, int(W * scale_factor), method)
-    x = _apply_plan_jnp(x, wh, ih, axis=-2)
-    x = _apply_plan_jnp(x, ww, iw, axis=-1)
+    x = _apply_plan_dense_jnp(x, wh, ih, axis=-2)
+    x = _apply_plan_dense_jnp(x, ww, iw, axis=-1)
     return x

@@ -36,6 +36,47 @@ def test_fused_multi_chunk_carry():
     np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
 
 
+def test_scan_proj_matches_composed_oracle():
+    from lfsr_tpu.ops.pallas_scan import selective_scan_proj, scan_proj_ref
+
+    u, _, A, _, _, D_ = _mk()
+    B, L, D = u.shape
+    N = A.shape[1]
+    R = 3
+    dbc = jnp.asarray(RNG.normal(size=(B, L, R + 2 * N)), jnp.float32)
+    Wdt = jnp.asarray(RNG.normal(size=(R, D)) * 0.4, jnp.float32)
+    bdt = jnp.asarray(RNG.normal(size=(D,)) * 0.2, jnp.float32)
+    got = np.asarray(selective_scan_proj(u, dbc, Wdt, bdt, A, D_, 64))
+    want = np.asarray(scan_proj_ref(u, dbc, Wdt, bdt, A, D_))
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
+
+
+@pytest.mark.slow
+def test_scan_proj_gradients_match_reference():
+    from lfsr_tpu.ops.pallas_scan import selective_scan_proj, scan_proj_ref
+
+    u, _, A, _, _, D_ = _mk(B=1, L=128, D=4, N=2)
+    B, L, D = u.shape
+    N = A.shape[1]
+    R = 2
+    dbc = jnp.asarray(RNG.normal(size=(B, L, R + 2 * N)), jnp.float32)
+    Wdt = jnp.asarray(RNG.normal(size=(R, D)) * 0.4, jnp.float32)
+    bdt = jnp.asarray(RNG.normal(size=(D,)) * 0.2, jnp.float32)
+
+    def f(u_, dbc_, W_):
+        return jnp.sum(selective_scan_proj(u_, dbc_, W_, bdt, A, D_, 64) ** 2)
+
+    def fr(u_, dbc_, W_):
+        return jnp.sum(scan_proj_ref(u_, dbc_, W_, bdt, A, D_) ** 2)
+
+    got = jax.grad(f, argnums=(0, 1, 2))(u, dbc, Wdt)
+    want = jax.grad(fr, argnums=(0, 1, 2))(u, dbc, Wdt)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+        )
+
+
 def test_scan_gated_matches_composed_oracle():
     from lfsr_tpu.ops.pallas_scan import scan_gated_fused
 
