@@ -62,7 +62,7 @@ class Config:
     # Tiled evaluation (option.py:40-46) --------------------------------------
     patch_size_for_test: int = 32
     stride_for_test: int = 16
-    minibatch_for_test: int = 8  # patches per device step (reference used 1); TPU sweep: 8>16>32>64 scenes/s (PERF.md)
+    minibatch_for_test: int = 2  # patches per device step (reference used 1); TPU sweep: 2 > 4 > 8 > 1 > 16 > 32 scenes/s (PERF.md)
 
     # Parallelism -------------------------------------------------------------
     mesh_shape: Optional[Tuple[int, ...]] = None  # None => all local devices

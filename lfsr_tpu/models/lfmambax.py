@@ -455,6 +455,30 @@ def _fold_out_conv(k3, r):
     return kf
 
 
+def _apply_folded_taps(z, kf, bias):
+    """Apply the folded [3, 3, C, rr] out-conv as one taps-stacked matmul.
+
+    A direct conv with rr=4 output channels uses 4/128 MXU lanes. Stacking
+    the 9 taps onto the lane axis — ``zp @ W[C, 9*rr]`` — runs the whole
+    contraction at 36 lanes in one pass, and the tap combination becomes 9
+    shifted slice-adds of the result (measured 2.9 -> ~1 ms at
+    [8,320,320,256] on v5e)."""
+    kh, kw, C, rr = kf.shape
+    W36 = kf.transpose(2, 0, 1, 3).reshape(C, kh * kw * rr)
+    zp = jnp.pad(z, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    t = jax.lax.dot_general(
+        zp, W36, dimension_numbers=(((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B, H+2, W+2, 9*rr] f32
+    Hh, Ww = z.shape[1], z.shape[2]
+    out = bias.astype(jnp.float32)
+    for ky in range(kh):
+        for kx in range(kw):
+            k = ky * kw + kx
+            out = out + t[:, ky : ky + Hh, kx : kx + Ww, k * rr : (k + 1) * rr]
+    return out
+
+
 class HLFR(nn.Module):
     """Deep reconstruction head + x2x2 pixel-shuffle upsampler (V8:716-859).
 
@@ -492,10 +516,7 @@ class HLFR(nn.Module):
                 bias = out_conv.variables["params"]["bias"].astype(dt)
                 kf = _fold_out_conv(k3, r)
                 z = lrelu(y)
-                out = jax.lax.conv_general_dilated(
-                    z, kf, (1, 1), [(1, 1), (1, 1)],
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                ) + bias
+                out = _apply_folded_taps(z, kf, bias)
                 out = pixel_shuffle(out, r)
             else:
                 y = lrelu(pixel_shuffle(y, r))

@@ -143,6 +143,12 @@ def _win_mha_raw(x, wqkv, wout, ln_g, ln_b, bias, attn_scale, *,
         out_specs=pl.BlockSpec((1, R * ws, W, C), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
+        # the per-step intermediates (s_big/p_big/k_big/v_big at
+        # [nw, T, heads*T]) sit near the default 16 MB scoped-vmem limit
+        # at rows_per_block=2; larger grids (minibatch > 8) tipped the
+        # compiler's accounting over it. v5e has 128 MB of VMEM — raise
+        # the scoped limit rather than shrink the (faster) block.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x, wqkv, wout, ln_g[None], ln_b[None], bias, attn_scale.reshape(1, 1))
 

@@ -13,7 +13,7 @@ rng = np.random.default_rng(0)
 params = jax.jit(model.init)(jax.random.key(0), jnp.zeros((1, 160, 160, 1), jnp.float32))
 lrs = [jnp.asarray(rng.random((ang * h0, ang * h0)), jnp.float32) for _ in range(4)]
 
-for mb in (8, 16, 32, 64):
+for mb in (1, 2, 4):
     kw = dict(ang=ang, scale=scale, patch=cfg.patch_size_for_test,
               stride=cfg.stride_for_test, minibatch=mb, h0=h0, w0=h0)
     f = jax.jit(lambda p, s: jnp.sum(sr_scene(model.apply, p, s, **kw)))
