@@ -17,7 +17,8 @@ from lfsr_tpu.models import registry
 
 LOGDIR = "/tmp/lfsr_trace_r2"
 
-B, H, W = 8, 160, 160
+import os
+B, H, W = int(os.environ.get("PROBE_MB", "8")), 160, 160
 cfg = Config(model_name="LFMambaX", scale_factor=4)
 model = registry.get_model(cfg)
 xin = jax.random.normal(jax.random.PRNGKey(0), (B, H, W, 1), jnp.float32)

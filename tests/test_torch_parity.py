@@ -929,7 +929,11 @@ def test_dpt_forward_parity():
         _map_dpt,
         _rand_sai(seed=13),
         model_kwargs={"compat_grad_pad2": True, "compat_fold_pad": True},
-        atol=1e-4,
+        # 3e-4 (not 1e-4): ops.resize.interpolate applies its resample plan
+        # as one dense [out, in] matmul — the same linear map as torch's
+        # per-tap loop but a different f32 summation order; DPT's deep
+        # trunk amplifies that to ~1.5e-4 end to end (‌≪ any PSNR impact)
+        atol=3e-4,
     )
 
 
