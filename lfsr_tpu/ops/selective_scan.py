@@ -79,6 +79,12 @@ def selective_scan_chunked(
     Cc32 = Cc.astype(f32).reshape(B, nchunks, chunk, N)
     A32 = A.astype(f32)
 
+    # remat: without it the scan VJP saves the associative-scan's
+    # O(log chunk) [B, chunk, D, N] internals for EVERY chunk
+    # (~200 MB x several per Mamba at the L=25600/batch-8 train point —
+    # HBM-OOM on one v5e); recomputing them in backward costs one extra
+    # forward of the chunk body and keeps only the [B, D, N] carries.
+    @jax.checkpoint
     def step(h0, inputs):
         uc, dc, bc, cc = inputs  # [B, chunk, ...]
         dA = jnp.exp(dc[..., :, None] * A32[None, None])
