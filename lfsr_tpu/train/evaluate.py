@@ -11,6 +11,7 @@ distinct geometry compiles once.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Callable
 
@@ -62,8 +63,71 @@ def sr_scene(
     return lf_integrate(sr, ang_out, patch * scale, stride * scale, h0 * scale, w0 * scale)
 
 
-def evaluate_scene(apply_fn, params, scene, cfg: Config):
+def sr_scene_sharded(
+    apply_fn: Callable,
+    params,
+    lr_sai: jnp.ndarray,
+    mesh,
+    *,
+    ang: int,
+    scale: int,
+    patch: int,
+    stride: int,
+    minibatch: int,
+    h0: int,
+    w0: int,
+    ang_out: int | None = None,
+) -> jnp.ndarray:
+    """Multi-chip tiled SR: the patch grid is data-parallel over ``mesh``.
+
+    Each ``lax.map`` step processes ``n_devices * minibatch`` patches with
+    the batch axis sharded across the mesh's ``data`` axis (params
+    replicated) — XLA runs every chip on its own patch shard and the
+    stitched output is gathered once at the end. Semantically identical
+    to :func:`sr_scene` (same padding, same integrate), verified on an
+    8-device CPU mesh in tests/test_eval_sharded.py.
+    """
+    ang_out = ang_out or ang
+    n_dev = int(np.prod(mesh.devices.shape))
+    step_b = n_dev * minibatch
+    patches = lf_divide(jnp.asarray(lr_sai), ang, patch, stride)  # [N, A*p, A*p]
+    n = patches.shape[0]
+    n_pad = -(-n // step_b) * step_b
+    patches = jnp.pad(patches, ((0, n_pad - n), (0, 0), (0, 0)))
+    chunks = patches.reshape(n_pad // step_b, step_b, *patches.shape[1:])
+
+    fn = _sharded_runner(apply_fn, mesh, ang_out, patch, scale, stride, h0, w0, n)
+    return fn(params, chunks)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_runner(apply_fn, mesh, ang_out, patch, scale, stride, h0, w0, n):
+    """Cached jitted data-parallel patch runner (one compile per mesh +
+    scene geometry, mirroring sr_scene's static-argname bucketing)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    shard_b = NamedSharding(mesh, P(None, "data"))
+
+    def run_all(params_, chunks_):
+        def run(chunk):
+            return apply_fn(params_, chunk[..., None])[..., 0]
+
+        n_pad = chunks_.shape[0] * chunks_.shape[1]
+        sr = jax.lax.map(run, chunks_)
+        sr = sr.reshape(n_pad, ang_out * patch * scale, ang_out * patch * scale)[:n]
+        return lf_integrate(
+            sr, ang_out, patch * scale, stride * scale, h0 * scale, w0 * scale
+        )
+
+    return jax.jit(run_all, in_shardings=(repl, shard_b), out_shardings=repl)
+
+
+def evaluate_scene(apply_fn, params, scene, cfg: Config, mesh=None):
     """SR + metrics for one TestScene. Returns (psnr, ssim, sr_views).
+
+    With a multi-device ``mesh`` the patch grid is data-parallel across
+    it (sr_scene_sharded); otherwise single-device sr_scene.
 
     task='RE' evaluates angular reconstruction: spatial scale 1, output
     angRes_out views, metric protocol excluding the input view positions
@@ -74,10 +138,7 @@ def evaluate_scene(apply_fn, params, scene, cfg: Config):
     ang_out = cfg.angRes_out
     h0 = scene.lr_y.shape[0] // ang
     w0 = scene.lr_y.shape[1] // ang
-    sr_views = sr_scene(
-        apply_fn,
-        params,
-        jnp.asarray(scene.lr_y),
+    kw = dict(
         ang=ang,
         scale=s,
         patch=cfg.patch_size_for_test,
@@ -87,6 +148,12 @@ def evaluate_scene(apply_fn, params, scene, cfg: Config):
         w0=w0,
         ang_out=ang_out,
     )
+    if mesh is not None and int(np.prod(mesh.devices.shape)) > 1:
+        sr_views = sr_scene_sharded(
+            apply_fn, params, jnp.asarray(scene.lr_y), mesh, **kw
+        )
+    else:
+        sr_views = sr_scene(apply_fn, params, jnp.asarray(scene.lr_y), **kw)
     # views -> SAI mosaic for the metric protocol
     sr_sai = jnp.moveaxis(sr_views, 2, 1).reshape(ang_out * h0 * s, ang_out * w0 * s)
     hr = jnp.asarray(scene.hr_y[: ang_out * h0 * s, : ang_out * w0 * s])
@@ -99,13 +166,17 @@ def evaluate_scene(apply_fn, params, scene, cfg: Config):
     return float(p), float(ssim_v), sr_views
 
 
-def evaluate_sets(apply_fn, params, scenes_by_set: dict, cfg: Config, log=print):
-    """Per-dataset averages (train.py:286-347 protocol). Returns dict."""
+def evaluate_sets(apply_fn, params, scenes_by_set: dict, cfg: Config, log=print,
+                  mesh=None):
+    """Per-dataset averages (train.py:286-347 protocol). Returns dict.
+
+    Pass a multi-device ``mesh`` to shard each scene's patch grid
+    data-parallel across it."""
     results = {}
     for name, scenes in scenes_by_set.items():
         per_scene = []
         for sc in scenes:
-            p, s, _ = evaluate_scene(apply_fn, params, sc, cfg)
+            p, s, _ = evaluate_scene(apply_fn, params, sc, cfg, mesh=mesh)
             per_scene.append((sc.name, p, s))
             log(f"  {name}/{sc.name}: PSNR {p:.3f} SSIM {s:.4f}")
         avg_p = float(np.mean([x[1] for x in per_scene]))

@@ -51,11 +51,16 @@ def main(cfg, ckpt_path: str | None = None, save_views: bool = True):
     else:
         log("WARNING: no checkpoint found — evaluating random init")
 
+    from lfsr_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(cfg) if int(np.prod(cfg.mesh_shape or (1,))) > 1 else None
     sheet = MetricSheet()
     for name, scenes in test_sets.items():
         per_scene = []
         for sc in scenes:
-            p, s, sr_views = evaluate_scene(model.apply, state.variables, sc, cfg)
+            p, s, sr_views = evaluate_scene(
+                model.apply, state.variables, sc, cfg, mesh=mesh
+            )
             per_scene.append((sc.name, p, s))
             log(f"{name}/{sc.name}: PSNR {p:.3f} SSIM {s:.4f}")
             if save_views:

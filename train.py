@@ -60,7 +60,8 @@ def main(cfg):
 
         if test_sets and (epoch % eval_every == 4 or epoch == cfg.epochs - 1):
             model = tr.model
-            results = evaluate_sets(model.apply, state.variables, test_sets, cfg, log)
+            results = evaluate_sets(model.apply, state.variables, test_sets, cfg, log,
+                                    mesh=tr.mesh if tr.mesh.devices.size > 1 else None)
             sheet = MetricSheet()
             for name, r in results.items():
                 sheet.add_set(name, r["scenes"])
