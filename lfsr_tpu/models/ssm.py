@@ -135,13 +135,17 @@ class Mamba(nn.Module):
 
     @staticmethod
     def _conv_silu(xs, w_conv, b_conv, dt):
-        """Causal depthwise conv1d + SiLU (torch Conv1d groups=Di, pad left)."""
-        Di = xs.shape[-1]
+        """Causal depthwise conv1d + SiLU (torch Conv1d groups=Di, pad left).
+
+        Applied as K shifted multiplies + adds: identical math, but pure
+        elementwise ops that XLA fuses with the surrounding projections
+        (the grouped-conv lowering is latency-bound at eval batch sizes —
+        same finding as lfmambax._DW_SHIFT)."""
         K = w_conv.shape[0]
-        xp = jnp.pad(xs, ((0, 0), (K - 1, 0), (0, 0)))
-        xc = jax.lax.conv_general_dilated(
-            xp.astype(dt), w_conv.astype(dt), (1,), "VALID",
-            dimension_numbers=("NLC", "LIO", "NLC"),
-            feature_group_count=Di,
-        ) + b_conv.astype(dt)
+        L = xs.shape[1]
+        xp = jnp.pad(xs.astype(dt), ((0, 0), (K - 1, 0), (0, 0)))
+        w = w_conv[:, 0, :].astype(dt)  # [K, Di]
+        xc = b_conv.astype(dt) + sum(
+            xp[:, k : k + L, :] * w[k] for k in range(K)
+        )
         return jax.nn.silu(xc)
