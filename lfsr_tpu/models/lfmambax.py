@@ -113,12 +113,16 @@ class IFE(nn.Module):
     def __call__(self, x):
         c3 = self.feats // 3
         dt = self.dtype
-        f3 = conv(c3, 3, padding=1, dtype=dt)(x)
+        # Explicit names pin the param-tree layout to the original
+        # construction order (f3, f5-proj, 5x5 probe, f7-proj, 7x7 probe,
+        # fuse, dw, final) so checkpoints stay restorable across the
+        # concat-fold rewrites (tests/test_models.py flagship tree pin).
+        f3 = conv(c3, 3, padding=1, name="Conv_0", dtype=dt)(x)
         # the two single-output-lane large-kernel convs run as ONE
         # 2-channel 7x7 conv (the 5x5 kernel zero-padded to 7x7) — a
         # 1-lane conv wastes 127/128 lanes, and XLA can't merge them
-        k5_m = conv(1, 5, padding=2, use_bias=False, dtype=dt)
-        k7_m = conv(1, 7, padding=3, use_bias=False, dtype=dt)
+        k5_m = conv(1, 5, padding=2, use_bias=False, name="Conv_2", dtype=dt)
+        k7_m = conv(1, 7, padding=3, use_bias=False, name="Conv_4", dtype=dt)
         _ = k5_m(jnp.zeros((1, 8, 8, x.shape[-1]), dt))
         _ = k7_m(jnp.zeros((1, 8, 8, x.shape[-1]), dt))
         k5 = k5_m.variables["params"]["kernel"]
@@ -130,17 +134,19 @@ class IFE(nn.Module):
             x.astype(dt), k57, (1, 1), [(3, 3), (3, 3)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        f5 = conv(c3, 1, dtype=dt)(p57[..., :1])
-        f7 = conv(self.feats - 2 * c3, 1, dtype=dt)(p57[..., 1:])
-        fuse_m = conv(self.feats, 1, use_bias=False, dtype=dt)
+        f5 = conv(c3, 1, name="Conv_1", dtype=dt)(p57[..., :1])
+        f7 = conv(self.feats - 2 * c3, 1, name="Conv_3", dtype=dt)(p57[..., 1:])
+        fuse_m = conv(self.feats, 1, use_bias=False, name="Conv_5", dtype=dt)
         wf = _mix_kernel(fuse_m, self.feats, dt)
         fused = (
             f3.astype(dt) @ wf[:c3]
             + f5.astype(dt) @ wf[c3 : 2 * c3]
             + f7.astype(dt) @ wf[2 * c3 :]
         )
-        enh = _dw_apply(fused, self.feats, dt)
-        enh = lrelu(conv(self.feats, 1, use_bias=False, dtype=dt)(enh))
+        enh = _dw_apply(fused, self.feats, dt, name="Conv_6")
+        enh = lrelu(
+            conv(self.feats, 1, use_bias=False, name="Conv_7", dtype=dt)(enh)
+        )
         scale = self.param("scale", nn.initializers.constant(0.2), (1,))
         return fused + scale * enh
 

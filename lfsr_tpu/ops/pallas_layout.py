@@ -47,10 +47,23 @@ FORCE_KERNEL_INTERPRET = False
 
 
 def _pick_wt(S: int, max_wt: int = 16) -> int:
-    for d in range(min(max_wt, S), 0, -1):
-        if S % d == 0:
+    """Band width for the column-slab BlockSpecs.
+
+    Mosaic requires the second-to-last block dim to be a multiple of 8 or
+    equal to the array dim (wt=12 at S=24 fails to lower on hardware —
+    ADVICE r2), so only sublane-aligned divisors are eligible; fall back
+    to whole-array slabs otherwise. Interpret mode keeps the old free
+    choice (no tiling constraints, and tests cover S=16/24/32 there).
+    """
+    if FORCE_KERNEL_INTERPRET:
+        for d in range(min(max_wt, S), 0, -1):
+            if S % d == 0:
+                return d
+        return 1
+    for d in range(min(max_wt, S), 7, -1):
+        if S % d == 0 and d % 8 == 0:
             return d
-    return 1
+    return S
 
 
 def _flipmat(S: int):
@@ -146,9 +159,24 @@ def cross_scan_gather_ref(x, gamma, beta):
 
 
 def _gather_supported(x) -> bool:
+    """Shape envelope for the fused cross-scan kernels.
+
+    Conservative by design (ADVICE r2): interpret-mode tests don't
+    exercise Mosaic tiling, so on hardware we only take the kernel for
+    geometries whose tile structure matches what has been validated on a
+    real chip (S=160/C=64 production path and the S%8==0 family): square
+    maps, S a multiple of 8 (so wt from _pick_wt is 8 or 16 and every
+    BlockSpec slab is sublane-aligned), and per-group channels g=C/4 a
+    multiple of the dtype sublane tile (8 f32 / 16 bf16). Anything else
+    falls back to the XLA reference path.
+    """
     b, h, w, c = x.shape
-    shapes_ok = h == w and c % 4 == 0 and h >= 8
-    return shapes_ok and (jax.default_backend() == "tpu" or FORCE_KERNEL_INTERPRET)
+    basic = h == w and h >= 8 and c % 4 == 0
+    if FORCE_KERNEL_INTERPRET:
+        return basic  # interpret mode has no tiling constraints
+    g_tile = 16 if x.dtype == jnp.bfloat16 else 8
+    tile_ok = h % 8 == 0 and (c // 4) % g_tile == 0
+    return basic and tile_ok and jax.default_backend() == "tpu"
 
 
 @jax.custom_vjp

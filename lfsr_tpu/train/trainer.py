@@ -33,7 +33,7 @@ from flax import struct
 from lfsr_tpu.config import Config
 from lfsr_tpu.data.datasets import TrainArrays, augment_batch, batch_indices
 from lfsr_tpu.models import registry
-from lfsr_tpu.ops.metrics import psnr
+from lfsr_tpu.ops.metrics import lf_metrics
 from lfsr_tpu.parallel.mesh import make_mesh, batch_sharding, replicated
 from lfsr_tpu.train import masking
 
@@ -151,8 +151,14 @@ class Trainer:
                 opt_state=opt_state,
                 step=state.step + 1,
             )
-            batch_psnr = jnp.mean(psnr(y[..., 0], sr[..., 0]))
-            return new_state, {"loss": loss, "psnr": batch_psnr}
+            # per-view PSNR + SSIM, matching the reference's per-iter
+            # cal_metrics (train.py:273) but on-device inside the step
+            batch_psnr, batch_ssim = lf_metrics(
+                y[..., 0], sr[..., 0], cfg.angRes_out
+            )
+            return new_state, {
+                "loss": loss, "psnr": batch_psnr, "ssim": batch_ssim,
+            }
 
         return jax.jit(step, donate_argnums=(0,))
 
@@ -182,19 +188,31 @@ class Trainer:
 
         kperm, kstep = jax.random.split(jax.random.fold_in(key, epoch))
         idx = batch_indices(kperm, len(data), cfg.batch_size, self.steps_per_epoch)
-        losses, psnrs = [], []
-        for i in range(self.steps_per_epoch):
+
+        # One-batch-ahead prefetch: the host-side fancy-index gather +
+        # device_put for step i+1 happen while the device runs step i, so
+        # the chip never idles on H2D (the dispatch itself is async).
+        def _prep(i):
             b = idx[i]
-            lr = jax.device_put(data.lr[b], self._bs)
-            hr = jax.device_put(data.hr[b], self._bs)
+            return (
+                jax.device_put(data.lr[b], self._bs),
+                jax.device_put(data.hr[b], self._bs),
+            )
+
+        nxt = _prep(0)
+        metrics_acc: dict[str, list] = {}
+        for i in range(self.steps_per_epoch):
+            lr, hr = nxt
             state, m = fn(state, lr, hr, jax.random.fold_in(kstep, i), jnp.float32(ratio))
-            losses.append(m["loss"])
-            psnrs.append(m["psnr"])
-        return state, {
-            "loss": float(jnp.mean(jnp.stack(losses))),
-            "psnr": float(jnp.mean(jnp.stack(psnrs))),
-            "mask_ratio": ratio,
+            if i + 1 < self.steps_per_epoch:
+                nxt = _prep(i + 1)
+            for k, v in m.items():
+                metrics_acc.setdefault(k, []).append(v)
+        out = {
+            k: float(jnp.mean(jnp.stack(v))) for k, v in metrics_acc.items()
         }
+        out["mask_ratio"] = ratio
+        return state, out
 
 
 # Models whose __call__ accepts (x, train) (dropout and/or batch norm).

@@ -53,7 +53,11 @@ def main(cfg, ckpt_path: str | None = None, save_views: bool = True):
 
     from lfsr_tpu.parallel.mesh import make_mesh
 
-    mesh = make_mesh(cfg) if int(np.prod(cfg.mesh_shape or (1,))) > 1 else None
+    # mirror the trainer: mesh_shape=None means "all local devices", so
+    # build the mesh unconditionally and shard eval whenever it is >1 chip
+    mesh = make_mesh(cfg)
+    if mesh.devices.size <= 1:
+        mesh = None
     sheet = MetricSheet()
     for name, scenes in test_sets.items():
         per_scene = []

@@ -83,3 +83,48 @@ def test_lf_dfnet_params_near_published():
 def test_unknown_model_raises():
     with pytest.raises(KeyError):
         registry.spec("NoSuchModel")
+
+
+def test_flagship_param_tree_layout_frozen():
+    """Checkpoint-compatibility pin for the flagship param tree.
+
+    The IFE concat-fold rewrites changed submodule *construction order*;
+    flax assigns auto-names in that order, so without explicit names the
+    Conv_N paths permute and any earlier checkpoint fails to restore
+    (ADVICE.md r2, medium). IFE now pins names to the original layout —
+    this test freezes the (path, shape) pairs so future rewrites can't
+    silently permute them again.
+    """
+    cfg = Config(model_name="LFMambaX", scale_factor=4, compute_dtype="float32")
+    model = registry.get_model(cfg)
+    x = jnp.zeros((1, ANG * 8, ANG * 8, 1), jnp.float32)
+    shapes = jax.eval_shape(model.init, jax.random.key(0), x)
+
+    ife = shapes["params"]["IFE_0"]
+    got = {
+        "/".join(k.key for k in kp): leaf.shape
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(ife)[0]
+    }
+    expect = {
+        # original construction order: f3, f5-proj, 5x5 probe, f7-proj,
+        # 7x7 probe, fuse, dw-enhance, final 1x1 (+ residual scale)
+        "Conv_0/bias": (21,), "Conv_0/kernel": (3, 3, 1, 21),
+        "Conv_1/bias": (21,), "Conv_1/kernel": (1, 1, 1, 21),
+        "Conv_2/kernel": (5, 5, 1, 1),
+        "Conv_3/bias": (22,), "Conv_3/kernel": (1, 1, 1, 22),
+        "Conv_4/kernel": (7, 7, 1, 1),
+        "Conv_5/kernel": (1, 1, 64, 64),
+        "Conv_6/kernel": (3, 3, 1, 64),
+        "Conv_7/kernel": (1, 1, 64, 64),
+        "scale": (1,),
+    }
+    assert got == expect, got
+
+    # top-level module layout stays fixed too
+    top = sorted(shapes["params"].keys())
+    assert top == sorted(
+        ["IFE_0", "SpatialAttention_0", "LSFL_0", "ProgressiveFusion_0",
+         "HLFR_0"]
+        + [f"block_{i}" for i in range(12)]
+        + [f"win_attn_{i}" for i in range(2)]
+    ), top

@@ -54,11 +54,14 @@ def main(cfg):
         state, metrics = tr.run_epoch(state, data, epoch, key)
         log(
             f"epoch {epoch:03d}: loss {metrics['loss']:.5f} "
-            f"psnr {metrics['psnr']:.3f} mask {metrics['mask_ratio']:.2f}"
+            f"psnr {metrics['psnr']:.3f} ssim {metrics['ssim']:.4f} "
+            f"mask {metrics['mask_ratio']:.2f}"
         )
         save_checkpoint(ckpt_dir, state, epoch)
 
-        if test_sets and (epoch % eval_every == 4 or epoch == cfg.epochs - 1):
+        # validate every `eval_every` epochs (first at epoch eval_every-1,
+        # matching the reference's every-5-epochs cadence) and at the end
+        if test_sets and ((epoch + 1) % eval_every == 0 or epoch == cfg.epochs - 1):
             model = tr.model
             results = evaluate_sets(model.apply, state.variables, test_sets, cfg, log,
                                     mesh=tr.mesh if tr.mesh.devices.size > 1 else None)
