@@ -51,6 +51,9 @@ class Config:
     grad_clip_norm: float = 1.0
     compute_dtype: str = "bfloat16"  # activations; params stay float32
     seed: int = 0
+    # In-step flip/transpose augmentation (utils_datasets.py:155-165);
+    # off for deterministic parity harnesses.
+    augment: bool = True
 
     # Masked angular pre-training (utils/masked_pretraining.py:174-218) ------
     use_masked_pretrain: bool = True

@@ -43,18 +43,9 @@ def _variant(name: str, base_cls, defaults: dict, loss_builder):
     _REGISTRY[name] = ModelSpec(name=name, build=build, build_loss=loss_builder)
 
 
-_variant(
-    "EfficientLFNetV6",
-    EfficientLFNetV64,
-    {"channels": 56, "n_blocks": 8, "d_state": 24, "expand": 1.5},
-    losses.composite_v64_builder,
-)
-_variant(
-    "EfficientLFNetV6_1",
-    EfficientLFNetV64,
-    {"channels": 56, "n_blocks": 8, "d_state": 16, "expand": 1.25},
-    losses.composite_v64_builder,
-)
+# V6.0 / V6.1 are TRUE architectures now (efficient_lfnet_v6.py, with
+# FastConvSSM-fallback param parity vs the reference files); only the
+# V6.3 / V6.5 mamba_ssm-gated line remains configured on V64 below.
 _variant(
     "EfficientLFNetV6_3",
     EfficientLFNetV64,

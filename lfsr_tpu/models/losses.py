@@ -137,6 +137,24 @@ def composite_v8_builder(cfg: Config):
     return loss
 
 
+def sobel_magnitude_l1(sr, hr):
+    """L1 between Sobel gradient magnitudes sqrt(gx^2+gy^2+1e-6)
+    (the V6 loss's "gradient_variance_loss", V6.py:606-620 — despite its
+    name it compares magnitudes, not variances)."""
+    kx = _SOBEL_X.reshape(3, 3, 1, 1)
+    ky = _SOBEL_X.T.reshape(3, 3, 1, 1)
+
+    def edge(a, k):
+        return jax.lax.conv_general_dilated(
+            _f32(a), k, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    pm = jnp.sqrt(edge(sr, kx) ** 2 + edge(sr, ky) ** 2 + 1e-6)
+    tm = jnp.sqrt(edge(hr, kx) ** 2 + edge(hr, ky) ** 2 + 1e-6)
+    return jnp.mean(jnp.abs(pm - tm))
+
+
 def gradient_variance(sr, hr):
     """|Var(sobel(sr)) - Var(sobel(hr))| (V6_4.py:681-697)."""
     kx = _SOBEL_X.reshape(3, 3, 1, 1)

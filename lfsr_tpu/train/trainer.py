@@ -33,7 +33,8 @@ from flax import struct
 from lfsr_tpu.config import Config
 from lfsr_tpu.data.datasets import TrainArrays, augment_batch, batch_indices
 from lfsr_tpu.models import registry
-from lfsr_tpu.ops.metrics import lf_metrics
+from lfsr_tpu.ops.layout import sai_to_views
+from lfsr_tpu.ops.metrics import lf_metrics, psnr
 from lfsr_tpu.parallel.mesh import make_mesh, batch_sharding, replicated
 from lfsr_tpu.train import masking
 
@@ -117,7 +118,9 @@ class Trainer:
 
         def step(state: TrainState, lr, hr, key, sracm_ratio):
             kaug, kmask, ksr, kdrop = jax.random.split(key, 4)
-            lr_a, hr_a = augment_batch(kaug, lr, hr)
+            lr_a, hr_a = (
+                augment_batch(kaug, lr, hr) if cfg.augment else (lr, hr)
+            )
             x = lr_a[..., None]
             y = hr_a[..., None]
             if cfg.use_masked_pretrain and mask_k > 0:
@@ -153,9 +156,16 @@ class Trainer:
             )
             # per-view PSNR + SSIM, matching the reference's per-iter
             # cal_metrics (train.py:273) but on-device inside the step
-            batch_psnr, batch_ssim = lf_metrics(
-                y[..., 0], sr[..., 0], cfg.angRes_out
-            )
+            ao = cfg.angRes_out
+            if y.shape[1] // ao >= 11 and y.shape[2] // ao >= 11:
+                batch_psnr, batch_ssim = lf_metrics(y[..., 0], sr[..., 0], ao)
+            else:
+                # views smaller than the 11-tap SSIM window (tiny smoke
+                # shapes): per-view PSNR only
+                yv = sai_to_views(y[..., 0], ao)
+                sv = sai_to_views(sr[..., 0], ao)
+                batch_psnr = jnp.mean(psnr(yv, sv))
+                batch_ssim = jnp.float32(0.0)
             return new_state, {
                 "loss": loss, "psnr": batch_psnr, "ssim": batch_ssim,
             }

@@ -1177,3 +1177,124 @@ def test_lf_dfnet_forward_parity():
         y_torch = tm(xt).numpy().transpose(0, 2, 3, 1)
     diff = max_abs_diff(y_flax, y_torch)
     assert diff < 1e-4, f"LF_DFnet: max |flax - torch| = {diff}"
+
+
+# --------------------------------------------------------------------------
+# EfficientLFNetV6 / V6.1 — the true V6-line architectures
+# (MyEfficientLFNetV6.py / V6_1.py with their FastConvSSM fallback)
+# --------------------------------------------------------------------------
+
+def _map_v6(sd, pre_norm=False):
+    def ln(p):
+        return {"scale": a(sd[p + "weight"]), "bias": a(sd[p + "bias"])}
+
+    def cw(p):
+        return {"kernel": t_conv(sd[p + ".weight"])}
+
+    core = {
+        "shallow_conv": {
+            "kernel": t_conv(sd["shallow_conv.weight"]),
+            "bias": a(sd["shallow_conv.bias"]),
+        },
+        "shallow_enhance": {
+            "dw": cw("shallow_enhance.dw"),
+            "pw": cw("shallow_enhance.pw"),
+        },
+    }
+    for i in range(8):
+        pre = f"lf_vssm_blocks.{i}."
+        g = pre + "global_branch."
+        blk = {
+            "local": {
+                "conv1": cw(pre + "local_branch.conv1"),
+                "conv3": cw(pre + "local_branch.conv3"),
+                "conv5": cw(pre + "local_branch.conv5"),
+                "conv7": cw(pre + "local_branch.conv7"),
+                "pw": cw(pre + "local_branch.pw"),
+            },
+            "global": {
+                "norm": ln(g + "norm."),
+                "ssm": {
+                    "Dense_0": {
+                        "kernel": t_linear(sd[g + "mamba.proj_in.weight"]),
+                        "bias": a(sd[g + "mamba.proj_in.bias"]),
+                    },
+                    "conv_kernel": a(sd[g + "mamba.conv.weight"]).transpose(2, 1, 0),
+                    "conv_bias": a(sd[g + "mamba.conv.bias"]),
+                    "Dense_1": {
+                        "kernel": t_linear(sd[g + "mamba.proj_out.weight"]),
+                        "bias": a(sd[g + "mamba.proj_out.bias"]),
+                    },
+                },
+                "dir_fuse": cw(g + "dir_fuse"),
+                "scale": a(sd[g + "scale"]),
+            },
+            "fuse": cw(pre + "fuse"),
+            "attention": {
+                "Conv_0": {
+                    "kernel": t_conv(sd[pre + "attention.fc1.weight"]),
+                    "bias": a(sd[pre + "attention.fc1.bias"]),
+                },
+                "Conv_1": {
+                    "kernel": t_conv(sd[pre + "attention.fc2.weight"]),
+                    "bias": a(sd[pre + "attention.fc2.bias"]),
+                },
+            },
+            "res_scale": a(sd[pre + "res_scale"]),
+        }
+        if pre_norm:
+            blk["pre_norm"] = ln(pre + "pre_norm.")
+        else:
+            blk["fuse_norm"] = ln(pre + "fuse_norm.")
+        core[f"block_{i}"] = blk
+    core.update(
+        {
+            "epi_branch": {
+                "epi_h_dw": cw("epi_branch.epi_h.0"),
+                "epi_h_pw": cw("epi_branch.epi_h.2"),
+                "epi_v_dw": cw("epi_branch.epi_v.0"),
+                "epi_v_pw": cw("epi_branch.epi_v.2"),
+                "fuse": cw("epi_branch.fuse"),
+                "scale": a(sd["epi_branch.scale"]),
+            },
+            "cross_fuse": cw("cross_fuse"),
+            "spectral_attn": {
+                "freq_weight": a(sd["spectral_attn.freq_weight"]).reshape(-1),
+                "spatial_mix": cw("spectral_attn.spatial_mix"),
+                "scale": a(sd["spectral_attn.scale"]),
+            },
+            "fuse_early": cw("fuse_early"),
+            "fuse_late": cw("fuse_late"),
+            "fuse_final": cw("fuse_final"),
+            "refine_conv": cw("refine_conv"),
+            "up_0": cw("upsampler.up.0"),
+            "up_1": cw("upsampler.up.3"),
+            "output_conv": {
+                "kernel": t_conv(sd["output_conv.weight"]),
+                "bias": a(sd["output_conv.bias"]),
+            },
+            "output_scale": a(sd["output_scale"]),
+        }
+    )
+    if not pre_norm:
+        core["fuse_norm"] = ln("fuse_norm.")
+    return {"core": core}
+
+
+@pytest.mark.slow
+def test_v6_fastconvssm_forward_parity():
+    tm = load_ref_model("MyEfficientLFNetV6", ref_args(scale_factor=4))
+    _run_pair(
+        "EfficientLFNetV6", tm, _map_v6, _rand_sai(seed=6),
+        model_kwargs={"ssm_impl": "conv"}, atol=1e-4,
+    )
+
+
+@pytest.mark.slow
+def test_v6_1_fastconvssm_forward_parity():
+    tm = load_ref_model("MyEfficientLFNetV6_1", ref_args(scale_factor=4))
+    _run_pair(
+        "EfficientLFNetV6_1", tm,
+        lambda sd: _map_v6(sd, pre_norm=True), _rand_sai(seed=7),
+        model_kwargs={"ssm_impl": "conv"}, atol=1e-4,
+    )

@@ -1,0 +1,218 @@
+"""Training-step parity vs the reference torch recipe.
+
+Forward parity (test_torch_parity.py) proves the *models* match; these
+tests prove the *training* matches: N optimizer steps on identical
+batches, with the reference recipe (AdamW betas (0.9,0.999) eps 1e-8
+wd 1e-4, global-norm clip 1.0 — reference train.py:96-127, 256-268),
+run through OUR production jitted step (Trainer._build_step with
+augmentation/masking off) and through the torch reference module, from
+the same transferred initial weights. Loss curves and final parameters
+must agree — this catches optimizer-semantics, schedule, and
+loss-gradient drift that forward parity cannot (VERDICT r2 missing #1).
+
+Both sides follow the same per-step LR sequence (our production
+``make_schedule``), isolating optimizer/gradient parity from the
+documented per-step-vs-per-epoch schedule difference; the schedule
+itself is compared against the reference's torch SequentialLR recipe at
+epoch boundaries in ``test_schedule_matches_reference_epoch_values``.
+
+Measured drift (f32, CPU): DistgSSR 20 steps -> per-step loss rel diff
+< 2e-4, final params max|delta| 6.6e-5 (Adam's m/sqrt(v)+eps amplifies
+f32 rounding chaotically at small step counts; the agreement of the
+loss *curve* is the systematic-drift check). Tolerances ~3x observed.
+"""
+
+import copy
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from lfsr_tpu.config import Config
+from lfsr_tpu.models import registry
+from lfsr_tpu.train.trainer import Trainer, make_schedule
+
+from tests._torch_ref import load_ref_model, ref_args, fill, max_abs_diff
+from tests.test_torch_parity import _map_distg, _map_epit
+
+ANG = 5
+
+
+def _batches(n_steps, batch=2, h0=8, scale=4, seed=3):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n_steps):
+        lr = rng.random((batch, ANG * h0, ANG * h0)).astype(np.float32)
+        hr = rng.random(
+            (batch, ANG * h0 * scale, ANG * h0 * scale)
+        ).astype(np.float32)
+        out.append((lr, hr))
+    return out
+
+
+def _torch_train(tm, batches, lrs, criterion=None):
+    """Run the reference training recipe (train.py:96-127, 256-268)."""
+    import torch
+
+    tm.train()
+    crit = criterion or torch.nn.L1Loss()
+    opt = torch.optim.AdamW(
+        [p for p in tm.parameters() if p.requires_grad],
+        lr=lrs[0], betas=(0.9, 0.999), eps=1e-8, weight_decay=1e-4,
+    )
+    losses = []
+    for i, (lr, hr) in enumerate(batches):
+        x = torch.from_numpy(lr[:, None])
+        y = torch.from_numpy(hr[:, None])
+        for g in opt.param_groups:
+            g["lr"] = lrs[i]
+        opt.zero_grad()
+        out = tm(x, [ANG, ANG])
+        loss = crit(out, y)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(tm.parameters(), max_norm=1.0)
+        opt.step()
+        losses.append(float(loss.detach()))
+    return tm, losses
+
+
+def _jax_train(name_flax, torch_init_model, mapper, batches, cfg):
+    """Run OUR production step (Trainer._build_step) from transferred init."""
+    tr = Trainer(cfg, steps_per_epoch=len(batches))
+    lr0 = batches[0][0]
+    state = tr.init_state(jax.random.key(0), lr0[..., None])
+
+    variables = {"params": state.params, **(state.model_state or {})}
+    mapped = mapper(torch_init_model.state_dict())
+    if "params" not in mapped:
+        mapped = {"params": mapped}
+    filled = {k: fill(variables[k], mapped[k]) for k in variables}
+    params = jax.tree.map(jnp.asarray, filled["params"])
+    state = state.replace(params=params, opt_state=tr.tx.init(params))
+
+    fn = tr.step_fn(0)  # no masking
+    losses = []
+    key = jax.random.key(1)
+    for i, (lr, hr) in enumerate(batches):
+        state, m = fn(
+            state, jnp.asarray(lr), jnp.asarray(hr),
+            jax.random.fold_in(key, i), jnp.float32(0.0),
+        )
+        losses.append(float(m["loss"]))
+    return state, losses
+
+
+def _run_train_parity(
+    name_flax, ref_name, mapper, n_steps=20,
+    loss_rtol=2e-4, param_atol=2e-4, criterion=None, model_kwargs=None,
+):
+    cfg = Config(
+        model_name=name_flax,
+        scale_factor=4,
+        compute_dtype="float32",
+        augment=False,
+        use_masked_pretrain=False,
+        batch_size=2,
+        epochs=50,  # reference-default recipe: warmup = min(5, 50//10) = 5
+        model_kwargs=model_kwargs or {},
+    )
+    # identical per-step LR on both sides (production schedule)
+    sched = make_schedule(cfg, steps_per_epoch=n_steps)
+    lrs = [float(sched(i)) for i in range(n_steps)]
+
+    batches = _batches(n_steps)
+    tm = load_ref_model(ref_name, ref_args(scale_factor=4))
+    # transfer BEFORE torch training mutates the weights
+    state, j_losses = _jax_train(name_flax, tm, mapper, batches, cfg)
+    tm_final, t_losses = _torch_train(tm, batches, lrs, criterion=criterion)
+
+    for i, (lj, lt) in enumerate(zip(j_losses, t_losses)):
+        rel = abs(lj - lt) / max(abs(lt), 1e-8)
+        assert rel < loss_rtol, (
+            f"{name_flax} step {i}: jax {lj:.8f} torch {lt:.8f} rel {rel:.2e}"
+        )
+
+    # final parameters: map torch's trained state_dict and diff every leaf
+    mapped = mapper(tm_final.state_dict())
+    if "params" not in mapped:
+        mapped = {"params": mapped}
+    want = fill(copy.deepcopy(jax.tree.map(np.asarray, state.params)),
+                mapped["params"])
+    deltas = jax.tree.map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+        state.params, want,
+    )
+    worst = max(jax.tree.leaves(deltas))
+    assert worst < param_atol, (
+        f"{name_flax}: final param max|delta| = {worst:.3e}"
+    )
+    return j_losses, t_losses, worst
+
+
+@pytest.mark.slow
+def test_distg_ssr_train_parity():
+    """DistgSSR (BASELINE config #3): 20 reference-recipe steps."""
+    _run_train_parity("DistgSSR", "DistgSSR", _map_distg)
+
+
+@pytest.mark.slow
+def test_epit_train_parity():
+    """EPIT (BASELINE config #4). The reference's own get_loss is dead
+    code (indexes out['SR'] on a tensor, EPIT.py:178 — SURVEY §7 hard
+    part 5); both sides train with the L1 criterion the rest of the zoo
+    uses. LayerNorm/MHA f32 reordering gives slightly larger drift than
+    the pure-conv DistgSSR."""
+    _run_train_parity(
+        "EPIT", "EPIT", _map_epit, loss_rtol=1e-3, param_atol=2e-4,
+    )
+
+
+@pytest.mark.slow
+def test_schedule_matches_reference_epoch_values():
+    """Our per-step warmup->cosine schedule equals the reference's
+    per-epoch SequentialLR(LinearLR -> CosineAnnealingLR) at every epoch
+    boundary (train.py:105-124)."""
+    import torch
+
+    epochs, spe, lr = 50, 97, 2e-4
+    cfg = Config(model_name="DistgSSR", epochs=epochs, lr=lr)
+    sched = make_schedule(cfg, steps_per_epoch=spe)
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.AdamW([p], lr=lr)
+    warmup = min(5, epochs // 10)
+    main = torch.optim.lr_scheduler.CosineAnnealingLR(
+        opt, T_max=epochs - warmup, eta_min=1e-6
+    )
+    warm = torch.optim.lr_scheduler.LinearLR(
+        opt, start_factor=0.01, end_factor=1.0, total_iters=warmup
+    )
+    seq = torch.optim.lr_scheduler.SequentialLR(
+        opt, schedulers=[warm, main], milestones=[warmup]
+    )
+    for epoch in range(epochs):
+        ref_lr = opt.param_groups[0]["lr"]
+        ours = float(sched(epoch * spe))
+        assert abs(ours - ref_lr) / lr < 1e-5, (epoch, ours, ref_lr)
+        seq.step()
+
+
+@pytest.mark.slow
+def test_v6_train_parity_with_reference_loss():
+    """EfficientLFNetV6 (true architecture, FastConvSSM path) trained
+    against the reference's OWN composite criterion
+    (Charbonnier + 0.1 FFT + 0.005 Sobel-magnitude, V6.py:582-627) —
+    checks the loss implementation's gradients too, not just L1."""
+    import importlib
+
+    from tests.test_torch_parity import _map_v6
+
+    load_ref_model("MyEfficientLFNetV6", ref_args(scale_factor=4))
+    mod = importlib.import_module("model.SR.MyEfficientLFNetV6")
+    crit = mod.get_loss(ref_args(scale_factor=4))
+    _run_train_parity(
+        "EfficientLFNetV6", "MyEfficientLFNetV6", _map_v6,
+        n_steps=10, loss_rtol=1e-3, param_atol=2e-4,
+        criterion=crit, model_kwargs={"ssm_impl": "conv"},
+    )
