@@ -16,10 +16,17 @@ Extra keys report patches/s and MFU (XLA-counted forward FLOPs against
 the v5e bf16 peak) for roofline tracking.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Extra modes (VERDICT r2 #3 — zoo-wide TPU perf table):
+    python bench.py --model_name EPIT [--minibatch 8] [--iters 3]
+        one JSON line for that model (no vs_baseline pin)
+    python bench.py --zoo
+        benches every benchmark-zoo model, one JSON line each
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
@@ -30,8 +37,15 @@ import numpy as np
 BASELINE_R01_SCENES_PER_S = 0.8103
 V5E_BF16_PEAK_FLOPS = 197e12
 
+# The 17 published-benchmark models (SURVEY §2.5), registry names.
+ZOO = [
+    "VDSR", "EDSR", "RCAN", "resLF", "LFSSR", "LF_ATO", "LF_InterNet",
+    "LF_DFnet", "MEG_Net", "LF_IINet", "DPT", "LFT", "DistgSSR",
+    "LFSSR_SAV", "EPIT", "HLFSR", "LF_DET",
+]
 
-def main():
+
+def bench_model(model_name: str, minibatch: int | None, iters: int) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -40,12 +54,13 @@ def main():
     from lfsr_tpu.train.evaluate import sr_scene
 
     ang, scale, h0 = 5, 4, 128
-    cfg = Config(model_name="LFMambaX", scale_factor=scale)
+    cfg = Config(model_name=model_name, scale_factor=scale)
+    if minibatch is not None:
+        cfg = cfg.replace(minibatch_for_test=minibatch)
     model = registry.get_model(cfg)
     rng = np.random.default_rng(0)
     # distinct inputs per iteration; on the axon tunnel block_until_ready
     # returns early, so timings queue N executions and fetch the last
-    iters = 6
     lrs = [
         jnp.asarray(rng.random((ang * h0, ang * h0)), jnp.float32)
         for _ in range(iters)
@@ -53,6 +68,7 @@ def main():
     params = jax.jit(model.init)(
         jax.random.key(0), jnp.zeros((1, 160, 160, 1), jnp.float32)
     )
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
 
     # forward FLOPs per patch from XLA cost analysis (honest convention)
     comp = (
@@ -85,18 +101,54 @@ def main():
     scenes_per_sec = 1.0 / scene_s
     patches_per_sec = n_patches * scenes_per_sec
     mfu = patches_per_sec * flops_per_patch / V5E_BF16_PEAK_FLOPS
+    return {
+        "model": model_name,
+        "scenes_per_sec": round(scenes_per_sec, 4),
+        "patches_per_sec": round(patches_per_sec, 2),
+        "mfu": round(mfu, 4),
+        "flops_per_patch_g": round(flops_per_patch / 1e9, 2),
+        "params": n_params,
+        "minibatch_for_test": cfg.minibatch_for_test,
+    }
 
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model_name", default=None)
+    ap.add_argument("--minibatch", type=int, default=None)
+    ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument("--zoo", action="store_true")
+    args = ap.parse_args()
+
+    if args.zoo:
+        for name in ZOO:
+            try:
+                r = bench_model(name, args.minibatch, args.iters or 3)
+            except Exception as e:  # record, keep sweeping
+                r = {"model": name, "error": f"{type(e).__name__}: {e}"[:200]}
+            print(json.dumps(r), flush=True)
+        return
+
+    if args.model_name and args.model_name != "LFMambaX":
+        print(json.dumps(bench_model(args.model_name, args.minibatch,
+                                     args.iters or 6)))
+        return
+
+    # Default / driver mode: the pinned flagship headline, ONE JSON line.
+    r = bench_model("LFMambaX", args.minibatch, args.iters or 6)
     print(
         json.dumps(
             {
                 "metric": "LF scenes/sec/chip (5x5 4x SR, 512x512 HR scene, LFMambaX)",
-                "value": round(scenes_per_sec, 4),
+                "value": r["scenes_per_sec"],
                 "unit": "scenes/s",
-                "vs_baseline": round(scenes_per_sec / BASELINE_R01_SCENES_PER_S, 3),
-                "patches_per_sec": round(patches_per_sec, 2),
-                "mfu": round(mfu, 4),
-                "flops_per_patch_g": round(flops_per_patch / 1e9, 2),
-                "minibatch_for_test": cfg.minibatch_for_test,
+                "vs_baseline": round(
+                    r["scenes_per_sec"] / BASELINE_R01_SCENES_PER_S, 3
+                ),
+                "patches_per_sec": r["patches_per_sec"],
+                "mfu": r["mfu"],
+                "flops_per_patch_g": r["flops_per_patch_g"],
+                "minibatch_for_test": r["minibatch_for_test"],
             }
         )
     )
