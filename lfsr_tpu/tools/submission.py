@@ -156,3 +156,34 @@ def validate_submission(path: str | Path, sample_pixels: int = 3) -> ValidationR
                     if s < MIN_PIXEL_STD:
                         rep.warn(f"{n}: suspiciously low variance (std {s:.1f})")
     return rep
+
+
+# ---------------------------------------------------------------------------
+# Channel-order human inspection (verify_channels.py:7-36)
+# ---------------------------------------------------------------------------
+
+
+def verify_channels(path: str | Path, out_dir: str | Path = ".") -> tuple[Path, Path]:
+    """Write ``check_original.bmp`` / ``check_swapped.bmp`` from the first
+    view of a submission for human color inspection — the reference's
+    verify_channels.py:7-36 companion to the automated BGR heuristic in
+    ``validate_submission``. The pair uses our byte-level BMP codec
+    instead of imageio, so the artifact itself also round-trips the
+    submission encoding. Returns the two written paths."""
+    files = _Files(path)
+    sample = next(
+        (n for n in sorted(files.names) if n.endswith(".bmp")), None
+    )
+    if sample is None:
+        raise FileNotFoundError(f"no .bmp views found in {path}")
+    img = bmp.decode_bmp(files.read(sample))
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    orig, swap = out / "check_original.bmp", out / "check_swapped.bmp"
+    bmp.write_bmp(orig, img)
+    bmp.write_bmp(swap, img[:, :, ::-1])
+    print(f"Checking: {sample}")
+    print(f"Saved {orig} and {swap}.")
+    print("View them: the one with CORRECT colors is the right format.")
+    print("If check_original looks blue-ish, the channel order is flipped.")
+    return orig, swap

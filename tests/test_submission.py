@@ -74,3 +74,11 @@ def test_bmp_header_contract():
     assert info["compression"] == 0
     assert (info["width"], info["height"]) == (624, 432)
     assert info["data_offset"] == 54
+
+
+def test_verify_channels_artifact(tmp_path):
+    _build(tmp_path / "sub", real_dims=(20, 12), synth_dims=(16, 16))
+    orig, swap = submission.verify_channels(tmp_path / "sub", tmp_path / "out")
+    a, b = bmp.read_bmp(orig), bmp.read_bmp(swap)
+    assert a.shape == b.shape and a.shape[2] == 3
+    np.testing.assert_array_equal(a, b[:, :, ::-1])
