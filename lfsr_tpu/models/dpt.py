@@ -159,7 +159,7 @@ class _SALSA(nn.Module):
 
         # fold with overlap averaging (one conv_transpose + a count map)
         z = z.reshape(b * n, oh, ow, ci * k * k)
-        Kf = jnp.asarray(_fold_kernel(k, ci))
+        Kf = jnp.asarray(_fold_kernel(k, ci), z.dtype)
         fold = lambda t: jax.lax.conv_transpose(
             t, Kf, (s, s), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
         )

@@ -128,3 +128,20 @@ def test_flagship_param_tree_layout_frozen():
         + [f"block_{i}" for i in range(12)]
         + [f"win_attn_{i}" for i in range(2)]
     ), top
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", sorted(registry.available()))
+def test_forward_production_dtype(name):
+    """Every registered model runs under the PRODUCTION compute dtype
+    (bfloat16) — parity tests all pin float32, which let a bf16-only
+    dtype mismatch in DPT's fold kernel reach the zoo bench unseen."""
+    cfg = Config(model_name=name, scale_factor=4, model_kwargs=SMALL_KW)
+    assert cfg.compute_dtype == "bfloat16"
+    model = registry.get_model(cfg)
+    h = ANG * 8
+    x = jnp.asarray(np.random.default_rng(0).random((1, h, h, 1)), jnp.float32)
+    params = model.init(jax.random.key(0), x)
+    y = jax.jit(model.apply)(params, x)
+    assert y.shape == (1, h * 4, h * 4, 1)
+    assert bool(jnp.all(jnp.isfinite(y)))
