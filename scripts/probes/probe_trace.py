@@ -15,11 +15,12 @@ import numpy as np
 from lfsr_tpu.config import Config
 from lfsr_tpu.models import registry
 
-LOGDIR = "/tmp/lfsr_trace_r2"
+LOGDIR = "/tmp/lfsr_trace_r3"
 
 import os
 B, H, W = int(os.environ.get("PROBE_MB", "8")), 160, 160
-cfg = Config(model_name="LFMambaX", scale_factor=4)
+MODEL = os.environ.get("PROBE_MODEL", "LFMambaX")
+cfg = Config(model_name=MODEL, scale_factor=4)
 model = registry.get_model(cfg)
 xin = jax.random.normal(jax.random.PRNGKey(0), (B, H, W, 1), jnp.float32)
 params = jax.jit(model.init)(jax.random.key(0), jnp.zeros((1, H, W, 1), jnp.float32))
