@@ -28,6 +28,7 @@ from lfsr_tpu.config import Config
 from lfsr_tpu.models.common import conv, lrelu02
 from lfsr_tpu.models.common import pixel_shuffle
 from lfsr_tpu.models.registry import register_model
+from lfsr_tpu.ops import pallas_masked_attention as masked_attn
 from lfsr_tpu.ops.layout import sai_to_views, views_to_sai
 
 
@@ -75,11 +76,18 @@ class _EPITransformer(nn.Module):
 
         bsz, L, _ = q.shape
         hd = d // self.heads
-        split = lambda a: a.reshape(bsz, L, self.heads, hd)
-        attn = nn.dot_product_attention(
-            split(q), split(k), split(v), bias=mask[None, None, :, :]
-        )
-        attn = nn.Dense(d, use_bias=False, dtype=dt)(attn.reshape(bsz, L, d))
+        if masked_attn.supported(L, d, self.heads):
+            # fused VMEM-resident attention: identical math (oracle +
+            # gradient tests in tests/test_pallas_masked_attention.py);
+            # avoids the [B', heads, L, L] HBM score tensors that make
+            # the XLA path ~5% MFU (PERF.md round-3 EPIT entry)
+            attn = masked_attn.masked_mha_fused(q, k, v, mask, self.heads)
+        else:
+            split = lambda a: a.reshape(bsz, L, self.heads, hd)
+            attn = nn.dot_product_attention(
+                split(q), split(k), split(v), bias=mask[None, None, :, :]
+            ).reshape(bsz, L, d)
+        attn = nn.Dense(d, use_bias=False, dtype=dt)(attn)
         t = t + attn
 
         f = nn.LayerNorm(dtype=dt)(t)
