@@ -124,6 +124,22 @@ class _AngularWindows(nn.Module):
         b, H, W, c = macpi.shape
         ws = self.ws
         blk = _Block(self.dim, self.heads, self.mlp_ratio, 1, self.drop_path, self.dtype)
+
+        if H % ws == 0 and W % ws == 0:
+            # Divisible extents (every production SAI geometry): the
+            # stride-ws starts tile the plane exactly, so the gather is a
+            # reshape and the overlap-average is the identity. The slice/
+            # scatter loop below emits O((H/ws)^2) HLO ops per branch —
+            # 1024 slices + 2048 scatter-adds at SAI-160 ws=5, which blew
+            # XLA compile time past 20 min for the whole model.
+            wins = macpi.reshape(b, H // ws, ws, W // ws, ws, c)
+            wins = wins.transpose(0, 1, 3, 2, 4, 5)
+            nw = (H // ws) * (W // ws)
+            toks = wins.reshape(b * nw, ws * ws, c)
+            toks = blk(toks, ws, train)
+            wins = toks.reshape(b, H // ws, W // ws, ws, ws, c)
+            return wins.transpose(0, 1, 3, 2, 4, 5).reshape(b, H, W, c)
+
         sh = _window_starts(H, ws)
         sw = _window_starts(W, ws)
         wins = jnp.stack(
