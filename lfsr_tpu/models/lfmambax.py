@@ -195,6 +195,7 @@ class CrossScanSSM(nn.Module):
     d_conv: int
     expand: float
     dtype: jnp.dtype
+    scan_impl: str = "pallas"
 
     @nn.compact
     def __call__(self, x):
@@ -210,6 +211,7 @@ class CrossScanSSM(nn.Module):
             d_state=self.d_state,
             d_conv=self.d_conv,
             expand=self.expand,
+            scan_impl=self.scan_impl,
             dtype=dt,
             name="mamba",
         )
@@ -270,13 +272,17 @@ class LFVSSMBlock(nn.Module):
     expand: float
     res_scale_init: float
     dtype: jnp.dtype
+    scan_impl: str = "pallas"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype
         xn = nn.LayerNorm(dtype=dt)(x)
         local = MultiScaleLocal(self.feats, dt)(xn)
-        glob = CrossScanSSM(self.feats, self.d_state, self.d_conv, self.expand, dt)(xn)
+        glob = CrossScanSSM(
+            self.feats, self.d_state, self.d_conv, self.expand, dt,
+            scan_impl=self.scan_impl,
+        )(xn)
         fuse = conv(self.feats, 1, use_bias=False, dtype=dt)
         wf = _mix_kernel(fuse, 2 * self.feats, dt)
         y = local.astype(dt) @ wf[: self.feats] + glob.astype(dt) @ wf[self.feats :]
@@ -582,6 +588,7 @@ class LFMambaX(nn.Module):
         d_conv = self.cfg.mk("d_conv", 4)
         expand = self.cfg.mk("expand", 1.25)
         use_macpi = self.cfg.mk("use_macpi", True)
+        scan_impl = self.cfg.mk("scan_impl", "pallas")
         dt = jnp.dtype(self.cfg.compute_dtype)
 
         up = bicubic_up(x, s)
@@ -615,7 +622,7 @@ class LFMambaX(nn.Module):
             for _ in range(n):
                 feat = BlockCls(
                     c, d_state, d_conv, expand, res_scales[bi], dt,
-                    name=f"block_{bi}",
+                    scan_impl, name=f"block_{bi}",
                 )(feat, train)
                 blocks.append(feat)
                 bi += 1

@@ -6,7 +6,9 @@ import jax, jax.numpy as jnp
 from scripts.probes._harness import timed_loop
 from lfsr_tpu.ops import pallas_attention as pa
 
-B, H, W, C = 8, 160, 160, 64
+import os
+B = int(os.environ.get("PROBE_MB", "8"))
+H, W, C = 160, 160, 64
 ws, heads = 8, 4
 key = jax.random.PRNGKey(0)
 ks = jax.random.split(key, 8)
@@ -20,7 +22,7 @@ bias = jax.random.normal(ks[3], (T, heads * T), jnp.float32) * 0.02
 scale = jnp.asarray([0.3], jnp.float32)
 
 ref = None
-for R in (1, 2, 4, 5, 10):
+for R in (1, 2, 4, 5, 10, 20):
     f = functools.partial(pa._win_mha_raw, ws=ws, heads=heads, eps=1e-6,
                           interpret=False, rows_per_block=R)
     try:
