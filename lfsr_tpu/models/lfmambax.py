@@ -276,9 +276,31 @@ class LFVSSMBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from lfsr_tpu.ops import pallas_block as plb
+
         dt = self.dtype
-        xn = nn.LayerNorm(dtype=dt)(x)
-        local = MultiScaleLocal(self.feats, dt)(xn)
+        ln = nn.LayerNorm(dtype=dt)
+        msl = MultiScaleLocal(self.feats, dt)
+        if plb._supported(x):
+            # Fused front: LayerNorm + the whole local branch in ONE pass
+            # over HBM (ops/pallas_block.ln_msl). Materialize the
+            # (param-compatible) submodule variables, then fold the head
+            # 1x1 through the mixing conv exactly as MultiScaleLocal does.
+            c4 = self.feats // 4
+            _ = ln(jnp.zeros((1, self.feats), dt))
+            _ = msl(jnp.zeros((1, 8, 8, self.feats), dt))
+            gamma = ln.variables["params"]["scale"]
+            beta = ln.variables["params"]["bias"]
+            mp = msl.variables["params"]
+            wh = mp["Conv_0"]["kernel"].reshape(c4, c4).astype(dt)
+            wm = mp["Conv_2"]["kernel"].reshape(self.feats, self.feats).astype(dt)
+            wk = mp["Conv_1"]["kernel"][:, :, 0, :].astype(dt)
+            xn, local = plb.ln_msl(
+                x.astype(dt), gamma, beta, wh @ wm[:c4], wm[c4:], wk
+            )
+        else:
+            xn = ln(x)
+            local = msl(xn)
         glob = CrossScanSSM(
             self.feats, self.d_state, self.d_conv, self.expand, dt,
             scan_impl=self.scan_impl,

@@ -121,6 +121,8 @@ class Mamba(nn.Module):
             from lfsr_tpu.ops.pallas_scan import selective_scan_proj
 
             y = selective_scan_proj(xc, dbc, w_dt, b_dt, A, D_skip, chunk)
+            # (Gating in bf16 instead measured NEUTRAL at mb=2 — the f32
+            # casts here fuse into neighbors; keep the f32 gate precision.)
             y = y.astype(jnp.float32) * jax.nn.silu(z.astype(jnp.float32))
         elif self.scan_impl == "fused" and on_tpu and L % 128 == 0:
             y = mamba_inner_fused(
