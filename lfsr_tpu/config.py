@@ -66,6 +66,14 @@ class Config:
     patch_size_for_test: int = 32
     stride_for_test: int = 16
     minibatch_for_test: int = 2  # patches per device step (reference used 1); TPU sweep: 2 > 4 > 8 > 1 > 16 > 32 scenes/s (PERF.md)
+    # Process each scene as ONE un-tiled SAI mosaic instead of the
+    # reference's overlapping 32/16 patch grid. The reference tiles to fit
+    # GPU memory; patch 32 / stride 16 recomputes every pixel 4x. On TPU
+    # the fully-convolutional models run the whole scene in one call —
+    # measured 2.4x scene throughput for the flagship at equal-or-better
+    # PSNR (no seams, full receptive field; PERF.md round 3). Models whose
+    # geometry is baked to the 160x160 SAI patch keep tiled eval.
+    whole_scene_for_test: bool = False
 
     # Parallelism -------------------------------------------------------------
     mesh_shape: Optional[Tuple[int, ...]] = None  # None => all local devices

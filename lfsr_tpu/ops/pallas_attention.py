@@ -123,6 +123,11 @@ def _win_mha_raw(x, wqkv, wout, ln_g, ln_b, bias, attn_scale, *,
     B, H, W, C = x.shape
     T = ws * ws
     nrows = H // ws
+    # per-step intermediates scale with nw = R * W/ws; at whole-scene
+    # widths (W=640) R=2 needs ~72 MB scoped vmem — drop to one window
+    # row per step there
+    if W > 320:
+        rows_per_block = 1
     R = rows_per_block if nrows % rows_per_block == 0 else 1
     grid = (B, nrows // R)
 

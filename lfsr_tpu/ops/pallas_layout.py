@@ -212,6 +212,9 @@ def cross_scan_gather(x, gamma, beta):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, S * S, C), x.dtype),
         interpret=FORCE_KERNEL_INTERPRET,
+        # whole-scene geometries (S=640) push the double-buffered band
+        # blocks past the 16 MB default scoped-vmem limit
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
     )(x, x, x, x, gamma[None], beta[None])
 
 
@@ -334,6 +337,8 @@ def cross_scan_scatter(seq, x, w, scale):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, S, S, C), x.dtype),
         interpret=FORCE_KERNEL_INTERPRET,
+        # see cross_scan_gather: whole-scene S=640 needs > 16 MB scoped
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
     )(seq4, seq4, seq4, seq4, x, w, scale_arr)
 
 

@@ -47,8 +47,18 @@ def sr_scene(
     """Super-resolve one whole scene. Returns SR views
     [A_out, A_out, h0*s, w0*s]. For the RE (angular reconstruction) task
     pass scale=1 and ang_out > ang — the model maps [A*p, A*p] SAI
-    patches to [A_out*p, A_out*p]."""
+    patches to [A_out*p, A_out*p].
+
+    ``patch >= max(h0, w0)`` selects whole-scene mode: the SAI mosaic is
+    itself the single "patch" — no divide/integrate, no overlap
+    redundancy (the reference's 32/16 grid computes every pixel 4x; it
+    tiles only to fit GPU memory, train.py:307-313)."""
     ang_out = ang_out or ang
+    if patch >= h0 and patch >= w0:
+        from lfsr_tpu.ops.layout import sai_to_views
+
+        sr = apply_fn(params, lr_sai[None, ..., None])[0, ..., 0]
+        return sai_to_views(sr, ang_out)
     patches = lf_divide(lr_sai, ang, patch, stride)  # [N, A*p, A*p]
     n = patches.shape[0]
     n_pad = -(-n // minibatch) * minibatch
@@ -138,17 +148,21 @@ def evaluate_scene(apply_fn, params, scene, cfg: Config, mesh=None):
     ang_out = cfg.angRes_out
     h0 = scene.lr_y.shape[0] // ang
     w0 = scene.lr_y.shape[1] // ang
+    whole = cfg.whole_scene_for_test
     kw = dict(
         ang=ang,
         scale=s,
-        patch=cfg.patch_size_for_test,
-        stride=cfg.stride_for_test,
+        patch=max(h0, w0) if whole else cfg.patch_size_for_test,
+        stride=max(h0, w0) if whole else cfg.stride_for_test,
         minibatch=cfg.minibatch_for_test,
         h0=h0,
         w0=w0,
         ang_out=ang_out,
     )
-    if mesh is not None and int(np.prod(mesh.devices.shape)) > 1:
+    if whole:
+        # one un-tiled call — nothing to shard across a data mesh
+        sr_views = sr_scene(apply_fn, params, jnp.asarray(scene.lr_y), **kw)
+    elif mesh is not None and int(np.prod(mesh.devices.shape)) > 1:
         sr_views = sr_scene_sharded(
             apply_fn, params, jnp.asarray(scene.lr_y), mesh, **kw
         )

@@ -1,0 +1,83 @@
+"""Whole-scene (un-tiled) evaluation path (Config.whole_scene_for_test).
+
+The reference always evaluates through the overlapping 32/16 patch grid
+(train.py:307-313) because the torch models won't fit a whole scene on
+the GPU; on TPU one un-tiled call removes the 4x overlap recompute. These
+tests pin the layout algebra of the new branch: it must equal (a) a
+direct model application, and (b) the tiled path exactly for a spatially
+local model (where overlap stitching is a no-op semantically).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lfsr_tpu.config import Config
+from lfsr_tpu.data.datasets import TestScene
+from lfsr_tpu.ops.layout import sai_to_views
+from lfsr_tpu.train.evaluate import evaluate_scene, sr_scene
+
+ANG, SCALE = 5, 4
+
+
+def _pointwise_apply(params, x):
+    """Stand-in model: pixel-local 4x upsample of an SAI mosaic.
+
+    Zero spatial context means tiled and whole-scene outputs must be
+    bit-identical, isolating the stitching/layout algebra."""
+    b, H, W, _ = x.shape
+    # per-view nearest upsample (SAI-level repeat would mix views)
+    v = x[:, :, :, 0].reshape(b, ANG, H // ANG, ANG, W // ANG)
+    v = jnp.repeat(jnp.repeat(v, SCALE, axis=2), SCALE, axis=4)
+    return (0.5 * v.reshape(b, ANG * (H // ANG) * SCALE,
+                            ANG * (W // ANG) * SCALE) + 0.25)[..., None]
+
+
+def test_whole_scene_equals_direct_apply():
+    h0 = 16
+    lr = jnp.asarray(
+        np.random.default_rng(0).random((ANG * h0, ANG * h0)), jnp.float32
+    )
+    out = sr_scene(
+        _pointwise_apply, None, lr, ang=ANG, scale=SCALE, patch=h0,
+        stride=h0, minibatch=1, h0=h0, w0=h0,
+    )
+    direct = sai_to_views(_pointwise_apply(None, lr[None, ..., None])[0, ..., 0], ANG)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(direct))
+    assert out.shape == (ANG, ANG, h0 * SCALE, h0 * SCALE)
+
+
+def test_whole_scene_matches_tiled_for_local_model():
+    h0 = 16
+    lr = jnp.asarray(
+        np.random.default_rng(1).random((ANG * h0, ANG * h0)), jnp.float32
+    )
+    whole = sr_scene(
+        _pointwise_apply, None, lr, ang=ANG, scale=SCALE, patch=h0,
+        stride=h0, minibatch=1, h0=h0, w0=h0,
+    )
+    tiled = sr_scene(
+        _pointwise_apply, None, lr, ang=ANG, scale=SCALE, patch=8,
+        stride=4, minibatch=4, h0=h0, w0=h0,
+    )
+    np.testing.assert_allclose(np.asarray(whole), np.asarray(tiled), atol=1e-6)
+
+
+def test_evaluate_scene_whole_flag():
+    h0 = 16
+    rng = np.random.default_rng(2)
+    lr = rng.random((ANG * h0, ANG * h0)).astype(np.float32)
+    hr = rng.random((ANG * h0 * SCALE, ANG * h0 * SCALE)).astype(np.float32)
+    sc = TestScene(
+        name="t", dataset="synth", lr_y=lr, hr_y=hr,
+        sr_cbcr=np.zeros((*hr.shape, 2), np.float32),
+    )
+    cfg = Config(whole_scene_for_test=True, patch_size_for_test=8,
+                 stride_for_test=4)
+    p_w, s_w, views_w = evaluate_scene(_pointwise_apply, None, sc, cfg)
+    cfg_t = cfg.replace(whole_scene_for_test=False, minibatch_for_test=4)
+    p_t, s_t, views_t = evaluate_scene(_pointwise_apply, None, sc, cfg_t)
+    np.testing.assert_allclose(
+        np.asarray(views_w), np.asarray(views_t), atol=1e-6
+    )
+    assert abs(p_w - p_t) < 1e-4 and abs(s_w - s_t) < 1e-4
