@@ -133,6 +133,40 @@ def _sharded_runner(apply_fn, mesh, ang_out, patch, scale, stride, h0, w0, n):
     return jax.jit(run_all, in_shardings=(repl, shard_b), out_shardings=repl)
 
 
+@functools.lru_cache(maxsize=64)
+def _whole_sharded_runner(apply_fn, mesh, ang_out):
+    """Cached jitted scene-batch runner: whole scenes data-parallel over
+    the mesh (params replicated). One compile per mesh + geometry."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    shard_n = NamedSharding(mesh, P("data"))
+
+    def run(params_, sais_):  # [N, A*h0, A*w0]
+        sr = apply_fn(params_, sais_[..., None])[..., 0]
+        n, H, W = sr.shape
+        v = sr.reshape(n, ang_out, H // ang_out, ang_out, W // ang_out)
+        return jnp.moveaxis(v, 2, 3)  # [N, A, A, h, w]
+
+    return jax.jit(run, in_shardings=(repl, shard_n), out_shardings=repl)
+
+
+def sr_scenes_whole_sharded(apply_fn, params, lr_sais, mesh, *, ang_out: int):
+    """Whole-scene SR for a batch of same-geometry scenes, data-parallel
+    across ``mesh``. ``lr_sais``: [N, A*h0, A*w0] (N padded to a multiple
+    of the mesh size here). Returns [N, A_out, A_out, h0*s, w0*s].
+
+    Whole-scene mode removes :func:`sr_scene_sharded`'s patch-grid
+    parallelism (one call per scene, nothing to split), so multi-chip
+    throughput comes from sharding the scene batch instead."""
+    n_dev = int(np.prod(mesh.devices.shape))
+    n = lr_sais.shape[0]
+    n_pad = -(-n // n_dev) * n_dev
+    sais = jnp.pad(jnp.asarray(lr_sais), ((0, n_pad - n), (0, 0), (0, 0)))
+    out = _whole_sharded_runner(apply_fn, mesh, ang_out)(params, sais)
+    return out[:n]
+
+
 def evaluate_scene(apply_fn, params, scene, cfg: Config, mesh=None):
     """SR + metrics for one TestScene. Returns (psnr, ssim, sr_views).
 
@@ -168,7 +202,14 @@ def evaluate_scene(apply_fn, params, scene, cfg: Config, mesh=None):
         )
     else:
         sr_views = sr_scene(apply_fn, params, jnp.asarray(scene.lr_y), **kw)
-    # views -> SAI mosaic for the metric protocol
+    p, ssim_v = _score_views(scene, sr_views, ang, ang_out, s, re_task)
+    return p, ssim_v, sr_views
+
+
+def _score_views(scene, sr_views, ang, ang_out, s, re_task):
+    """Metric tail shared by the per-scene and scene-batched paths."""
+    h0 = scene.lr_y.shape[0] // ang
+    w0 = scene.lr_y.shape[1] // ang
     sr_sai = jnp.moveaxis(sr_views, 2, 1).reshape(ang_out * h0 * s, ang_out * w0 * s)
     hr = jnp.asarray(scene.hr_y[: ang_out * h0 * s, : ang_out * w0 * s])
     if re_task:
@@ -177,7 +218,7 @@ def evaluate_scene(apply_fn, params, scene, cfg: Config, mesh=None):
         p, ssim_v = lf_metrics_re(hr, sr_sai, ang, ang_out)
     else:
         p, ssim_v = lf_metrics(hr, sr_sai, ang)
-    return float(p), float(ssim_v), sr_views
+    return float(p), float(ssim_v)
 
 
 def evaluate_sets(apply_fn, params, scenes_by_set: dict, cfg: Config, log=print,
@@ -186,9 +227,40 @@ def evaluate_sets(apply_fn, params, scenes_by_set: dict, cfg: Config, log=print,
 
     Pass a multi-device ``mesh`` to shard each scene's patch grid
     data-parallel across it."""
+    whole_batched = (
+        cfg.whole_scene_for_test
+        and mesh is not None
+        and int(np.prod(mesh.devices.shape)) > 1
+    )
+    s_factor = 1 if cfg.task == "RE" else cfg.scale_factor
     results = {}
     for name, scenes in scenes_by_set.items():
         per_scene = []
+        if whole_batched:
+            # group same-geometry scenes and shard each batch over the mesh
+            by_geo: dict = {}
+            for sc in scenes:
+                by_geo.setdefault(sc.lr_y.shape, []).append(sc)
+            scored = {}
+            for group in by_geo.values():
+                batch = jnp.stack([jnp.asarray(sc.lr_y) for sc in group])
+                views = sr_scenes_whole_sharded(
+                    apply_fn, params, batch, mesh, ang_out=cfg.angRes_out
+                )
+                for sc, v in zip(group, views):
+                    scored[sc.name] = _score_views(
+                        sc, v, cfg.angRes, cfg.angRes_out, s_factor,
+                        cfg.task == "RE",
+                    )
+            for sc in scenes:
+                p, s = scored[sc.name]
+                per_scene.append((sc.name, p, s))
+                log(f"  {name}/{sc.name}: PSNR {p:.3f} SSIM {s:.4f}")
+            avg_p = float(np.mean([x[1] for x in per_scene]))
+            avg_s = float(np.mean([x[2] for x in per_scene]))
+            results[name] = {"psnr": avg_p, "ssim": avg_s, "scenes": per_scene}
+            log(f"  {name} average: PSNR {avg_p:.3f} SSIM {avg_s:.4f}")
+            continue
         for sc in scenes:
             p, s, _ = evaluate_scene(apply_fn, params, sc, cfg, mesh=mesh)
             per_scene.append((sc.name, p, s))

@@ -40,6 +40,47 @@ def test_sharded_matches_single_device():
     np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=1e-6)
 
 
+def test_whole_scene_batch_sharded_matches_per_scene():
+    """sr_scenes_whole_sharded (scene batch data-parallel over the mesh)
+    must equal per-scene whole-scene sr_scene; evaluate_sets in
+    whole-scene mode must score identically with and without a mesh."""
+    from lfsr_tpu.train.evaluate import evaluate_sets, sr_scenes_whole_sharded
+
+    cfg, model, params = _model_and_params()
+    h0 = 24
+    sais = jnp.asarray(RNG.random((3, ANG * h0, ANG * h0)), jnp.float32)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), axis_names=("data",))
+    batched = np.asarray(
+        sr_scenes_whole_sharded(model.apply, params, sais, mesh, ang_out=ANG)
+    )
+    for i in range(3):
+        single = np.asarray(
+            sr_scene(
+                model.apply, params, sais[i], ang=ANG, scale=SCALE,
+                patch=h0, stride=h0, minibatch=1, h0=h0, w0=h0,
+            )
+        )
+        np.testing.assert_allclose(batched[i], single, rtol=1e-6, atol=1e-6)
+
+    class Scene:
+        def __init__(self, i):
+            self.name = f"s{i}"
+            self.dataset = "synth"
+            self.lr_y = np.asarray(sais[i])
+            self.hr_y = np.asarray(
+                RNG.random((ANG * h0 * SCALE, ANG * h0 * SCALE)), np.float32
+            )
+
+    scenes = {"set": [Scene(i) for i in range(3)]}
+    cfg_w = cfg.replace(whole_scene_for_test=True)
+    r_single = evaluate_sets(model.apply, params, scenes, cfg_w, log=lambda *_: None)
+    r_mesh = evaluate_sets(
+        model.apply, params, scenes, cfg_w, log=lambda *_: None, mesh=mesh
+    )
+    assert abs(r_single["set"]["psnr"] - r_mesh["set"]["psnr"]) < 1e-4
+    assert abs(r_single["set"]["ssim"] - r_mesh["set"]["ssim"]) < 1e-4
+
+
 def test_evaluate_scene_accepts_mesh():
     cfg, model, params = _model_and_params()
 
