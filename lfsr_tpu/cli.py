@@ -36,10 +36,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--use_masked_pretrain", type=int, default=1)
     p.add_argument("--mask_ratio", type=float, default=0.3)
-    p.add_argument("--minibatch_for_test", type=int, default=32)
-    p.add_argument("--whole_scene_for_test", type=int, default=0,
+    p.add_argument("--minibatch_for_test", type=int, default=2)
+    p.add_argument("--whole_scene_for_test", type=int, default=-1,
                    help="1: evaluate each scene as ONE un-tiled SAI call "
-                        "(no 32/16 overlap grid; TPU fits whole scenes)")
+                        "(no 32/16 overlap grid; TPU fits whole scenes); "
+                        "0: force tiled; -1 (default): auto per model "
+                        "registry capability")
+    p.add_argument("--epsw_for_test", type=int, default=0,
+                   help="1: EPSW Gaussian-blended patch stitching "
+                        "(MyEfficientLFNetV4_3.py:148) instead of the "
+                        "hard center crop; tiled eval only")
     p.add_argument("--model_kwargs", type=str, default="{}",
                    help="JSON dict of per-model overrides")
     return p
@@ -68,5 +74,9 @@ def config_from_args(args) -> Config:
         use_masked_pretrain=bool(args.use_masked_pretrain),
         mask_end_ratio=args.mask_ratio,
         minibatch_for_test=args.minibatch_for_test,
-        whole_scene_for_test=bool(args.whole_scene_for_test),
+        whole_scene_for_test=(
+            None if args.whole_scene_for_test < 0
+            else bool(args.whole_scene_for_test)
+        ),
+        epsw_for_test=bool(args.epsw_for_test),
     )

@@ -73,7 +73,16 @@ class Config:
     # measured 2.4x scene throughput for the flagship at equal-or-better
     # PSNR (no seams, full receptive field; PERF.md round 3). Models whose
     # geometry is baked to the 160x160 SAI patch keep tiled eval.
-    whole_scene_for_test: bool = False
+    # None = auto: defer to the model registry's per-model capability
+    # (registry.whole_scene_default); True/False forces the mode.
+    whole_scene_for_test: Optional[bool] = None
+    # EPSW (Enhanced Position-Sensitive Windowing, MyEfficientLFNetV4_3.py:
+    # 148-216): blend overlapping SR patches with a Gaussian weight centred
+    # on each patch instead of the hard center crop. Only meaningful for
+    # tiled eval (whole-scene mode has no seams to blend). epsw_sigma is in
+    # SR pixels; None = the reference's input_patch/6 convention (V4_3:166).
+    epsw_for_test: bool = False
+    epsw_sigma: Optional[float] = None
 
     # Parallelism -------------------------------------------------------------
     mesh_shape: Optional[Tuple[int, ...]] = None  # None => all local devices

@@ -77,6 +77,78 @@ def lf_integrate(
     return x[..., :h, :w]
 
 
+def lf_integrate_gaussian(
+    patches: jnp.ndarray,
+    ang: int,
+    patch: int,
+    stride: int,
+    h: int,
+    w: int,
+    *,
+    sigma: float,
+) -> jnp.ndarray:
+    """EPSW-style Gaussian-blended stitching of SR patches.
+
+    TPU-native descendant of the reference's Enhanced Position-Sensitive
+    Windowing inference (MyEfficientLFNetV4_3.py:148-216): instead of
+    :func:`lf_integrate`'s hard center crop, every patch contributes to
+    the overlap region with a separable Gaussian weight centred on the
+    patch, and the accumulated field is normalised by the weight sum.
+    ``sigma`` is in output (SR) pixels; the reference convention is
+    ``input_patch / 6`` in those units (V4_3.py:166).
+
+    Unlike the reference — which tiles the raw image and special-cases the
+    right/bottom edges (V4_3.py:195-216) — this operates on
+    :func:`lf_divide`'s mirror-extended grid, so coverage is uniform and
+    edge handling is implicit. The accumulation is expressed as
+    ``ceil(p/s)^2`` static shifted grid-adds (no scatters), and the weight
+    sum is a static separable numpy product, so the whole blend stays one
+    fused XLA region under jit.
+    """
+    n1, n2 = _grid_from_count(patches.shape[0], h, w, patch, stride)
+    bdr = (patch - stride) // 2
+    x = patches.reshape(n1, n2, ang, patch, ang, patch)
+    x = jnp.moveaxis(x, -2, 3)  # [n1, n2, U, V, p, p]
+    coords = np.arange(patch, dtype=np.float64)
+    w1d = np.exp(-((coords - patch / 2.0) ** 2) / (2.0 * float(sigma) ** 2))
+    xw = x * jnp.asarray(w1d[:, None] * w1d[None, :], x.dtype)
+
+    # Patch i occupies extended rows [i*s, i*s + p). Split each patch into
+    # ceil(p/s) stride-sized slices: for a fixed slice k the n1 blocks are
+    # disjoint and contiguous, so the add is one static reshape per (kh, kw).
+    nk = -(-patch // stride)
+    ext_h = (n1 - 1 + nk) * stride
+    ext_w = (n2 - 1 + nk) * stride
+    acc = jnp.zeros((ang, ang, ext_h, ext_w), x.dtype)
+    for kh in range(nk):
+        hs, he = kh * stride, min(patch, (kh + 1) * stride)
+        for kw in range(nk):
+            ws, we = kw * stride, min(patch, (kw + 1) * stride)
+            blk = xw[:, :, :, :, hs:he, ws:we]
+            if (he - hs, we - ws) != (stride, stride):
+                blk = jnp.pad(
+                    blk,
+                    [(0, 0)] * 4
+                    + [(0, stride - (he - hs)), (0, stride - (we - ws))],
+                )
+            blk = jnp.transpose(blk, (2, 3, 0, 4, 1, 5))
+            blk = blk.reshape(ang, ang, n1 * stride, n2 * stride)
+            acc = acc.at[
+                :, :, hs : hs + n1 * stride, ws : ws + n2 * stride
+            ].add(blk)
+
+    # Static weight sum: sum of separable products over the grid is the
+    # product of per-axis sums.
+    ws_h = np.zeros(ext_h, np.float64)
+    ws_w = np.zeros(ext_w, np.float64)
+    for i in range(n1):
+        ws_h[i * stride : i * stride + patch] += w1d
+    for j in range(n2):
+        ws_w[j * stride : j * stride + patch] += w1d
+    out = acc / jnp.asarray(ws_h[:, None] * ws_w[None, :], x.dtype)
+    return out[..., bdr : bdr + h, bdr : bdr + w]
+
+
 def _grid_from_count(n: int, h: int, w: int, patch: int, stride: int):
     """Recover (n1, n2) from the output extent (all args static under jit)."""
     bdr = (patch - stride) // 2

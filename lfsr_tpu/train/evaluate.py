@@ -21,13 +21,32 @@ import numpy as np
 
 from lfsr_tpu.config import Config
 from lfsr_tpu.ops.metrics import lf_metrics
-from lfsr_tpu.ops.tiling import lf_divide, lf_integrate, tile_counts
+from lfsr_tpu.ops.tiling import (
+    lf_divide,
+    lf_integrate,
+    lf_integrate_gaussian,
+    tile_counts,
+)
+
+
+def _integrate(sr, ang_out, patch, scale, stride, h0, w0, integrate, sigma):
+    """Dispatch the stitch: hard center crop (reference LFintegrate) or
+    EPSW Gaussian blending (MyEfficientLFNetV4_3.py:148-216)."""
+    if integrate == "gaussian":
+        return lf_integrate_gaussian(
+            sr, ang_out, patch * scale, stride * scale, h0 * scale, w0 * scale,
+            sigma=float(sigma) if sigma else patch / 6.0,
+        )
+    return lf_integrate(
+        sr, ang_out, patch * scale, stride * scale, h0 * scale, w0 * scale
+    )
 
 
 @partial(
     jax.jit,
     static_argnames=(
-        "apply_fn", "ang", "scale", "patch", "stride", "minibatch", "h0", "w0", "ang_out",
+        "apply_fn", "ang", "scale", "patch", "stride", "minibatch", "h0", "w0",
+        "ang_out", "integrate", "integrate_sigma",
     ),
 )
 def sr_scene(
@@ -43,6 +62,8 @@ def sr_scene(
     h0: int,
     w0: int,
     ang_out: int | None = None,
+    integrate: str = "crop",
+    integrate_sigma: float | None = None,
 ) -> jnp.ndarray:
     """Super-resolve one whole scene. Returns SR views
     [A_out, A_out, h0*s, w0*s]. For the RE (angular reconstruction) task
@@ -70,7 +91,9 @@ def sr_scene(
 
     sr = jax.lax.map(run, chunks)
     sr = sr.reshape(n_pad, ang_out * patch * scale, ang_out * patch * scale)[:n]
-    return lf_integrate(sr, ang_out, patch * scale, stride * scale, h0 * scale, w0 * scale)
+    return _integrate(
+        sr, ang_out, patch, scale, stride, h0, w0, integrate, integrate_sigma
+    )
 
 
 def sr_scene_sharded(
@@ -87,6 +110,8 @@ def sr_scene_sharded(
     h0: int,
     w0: int,
     ang_out: int | None = None,
+    integrate: str = "crop",
+    integrate_sigma: float | None = None,
 ) -> jnp.ndarray:
     """Multi-chip tiled SR: the patch grid is data-parallel over ``mesh``.
 
@@ -106,12 +131,16 @@ def sr_scene_sharded(
     patches = jnp.pad(patches, ((0, n_pad - n), (0, 0), (0, 0)))
     chunks = patches.reshape(n_pad // step_b, step_b, *patches.shape[1:])
 
-    fn = _sharded_runner(apply_fn, mesh, ang_out, patch, scale, stride, h0, w0, n)
+    fn = _sharded_runner(
+        apply_fn, mesh, ang_out, patch, scale, stride, h0, w0, n,
+        integrate, integrate_sigma,
+    )
     return fn(params, chunks)
 
 
 @functools.lru_cache(maxsize=64)
-def _sharded_runner(apply_fn, mesh, ang_out, patch, scale, stride, h0, w0, n):
+def _sharded_runner(apply_fn, mesh, ang_out, patch, scale, stride, h0, w0, n,
+                    integrate="crop", integrate_sigma=None):
     """Cached jitted data-parallel patch runner (one compile per mesh +
     scene geometry, mirroring sr_scene's static-argname bucketing)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -126,8 +155,8 @@ def _sharded_runner(apply_fn, mesh, ang_out, patch, scale, stride, h0, w0, n):
         n_pad = chunks_.shape[0] * chunks_.shape[1]
         sr = jax.lax.map(run, chunks_)
         sr = sr.reshape(n_pad, ang_out * patch * scale, ang_out * patch * scale)[:n]
-        return lf_integrate(
-            sr, ang_out, patch * scale, stride * scale, h0 * scale, w0 * scale
+        return _integrate(
+            sr, ang_out, patch, scale, stride, h0, w0, integrate, integrate_sigma
         )
 
     return jax.jit(run_all, in_shardings=(repl, shard_b), out_shardings=repl)
@@ -182,7 +211,9 @@ def evaluate_scene(apply_fn, params, scene, cfg: Config, mesh=None):
     ang_out = cfg.angRes_out
     h0 = scene.lr_y.shape[0] // ang
     w0 = scene.lr_y.shape[1] // ang
-    whole = cfg.whole_scene_for_test
+    from lfsr_tpu.models.registry import whole_scene_default
+
+    whole = whole_scene_default(cfg)
     kw = dict(
         ang=ang,
         scale=s,
@@ -192,6 +223,8 @@ def evaluate_scene(apply_fn, params, scene, cfg: Config, mesh=None):
         h0=h0,
         w0=w0,
         ang_out=ang_out,
+        integrate="gaussian" if (cfg.epsw_for_test and not whole) else "crop",
+        integrate_sigma=cfg.epsw_sigma,
     )
     if whole:
         # one un-tiled call — nothing to shard across a data mesh
@@ -227,8 +260,10 @@ def evaluate_sets(apply_fn, params, scenes_by_set: dict, cfg: Config, log=print,
 
     Pass a multi-device ``mesh`` to shard each scene's patch grid
     data-parallel across it."""
+    from lfsr_tpu.models.registry import whole_scene_default
+
     whole_batched = (
-        cfg.whole_scene_for_test
+        whole_scene_default(cfg)
         and mesh is not None
         and int(np.prod(mesh.devices.shape)) > 1
     )

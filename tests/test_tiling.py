@@ -88,3 +88,110 @@ def test_integrate_scaled_geometry():
     )
     expect = np.repeat(np.repeat(base, s, axis=-2), s, axis=-1)
     np.testing.assert_array_equal(out, expect)
+
+
+# ---------------------------------------------------------------------------
+# EPSW Gaussian-blended integration (MyEfficientLFNetV4_3.py:148-216)
+# ---------------------------------------------------------------------------
+
+from lfsr_tpu.ops.tiling import lf_integrate_gaussian
+
+
+def _oracle_gaussian(patches, ang, patch, stride, h, w, sigma):
+    """Brute-force V4_3-math accumulation over lf_divide's extended grid."""
+    n1, n2 = tile_counts(h, w, patch, stride)
+    w1d = np.exp(
+        -((np.arange(patch) - patch / 2.0) ** 2) / (2.0 * sigma**2)
+    )
+    mask = w1d[:, None] * w1d[None, :]
+    pv = patches.reshape(n1, n2, ang, patch, ang, patch).transpose(
+        0, 1, 2, 4, 3, 5
+    )
+    s = stride
+    ext = np.zeros((ang, ang, (n1 - 1) * s + patch, (n2 - 1) * s + patch))
+    wsum = np.zeros(ext.shape[2:])
+    for i in range(n1):
+        for j in range(n2):
+            ext[:, :, i * s : i * s + patch, j * s : j * s + patch] += (
+                pv[i, j] * mask
+            )
+            wsum[i * s : i * s + patch, j * s : j * s + patch] += mask
+    out = ext / wsum
+    bdr = (patch - stride) // 2
+    return out[..., bdr : bdr + h, bdr : bdr + w]
+
+
+def test_integrate_gaussian_matches_oracle():
+    h0, w0, patch, stride = 40, 56, 32, 16
+    sigma = patch / 6.0
+    n1, n2 = tile_counts(h0, w0, patch, stride)
+    pats = RNG.random((n1 * n2, ANG * patch, ANG * patch)).astype(np.float32)
+    ours = np.asarray(
+        lf_integrate_gaussian(
+            jnp.asarray(pats), ANG, patch, stride, h0, w0, sigma=sigma
+        )
+    )
+    ref = _oracle_gaussian(
+        pats.astype(np.float64), ANG, patch, stride, h0, w0, sigma
+    )
+    np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_integrate_gaussian_non_divisible_patch():
+    # patch not a multiple of stride exercises the padded-slice branch
+    # (patch=40/stride=16 keeps the reference grid formula's coverage
+    # invariant 2*bdr >= stride-1, unlike e.g. 24/16)
+    h0, w0, patch, stride = 37, 43, 40, 16
+    sigma = patch / 6.0
+    n1, n2 = tile_counts(h0, w0, patch, stride)
+    pats = RNG.random((n1 * n2, ANG * patch, ANG * patch)).astype(np.float32)
+    ours = np.asarray(
+        lf_integrate_gaussian(
+            jnp.asarray(pats), ANG, patch, stride, h0, w0, sigma=sigma
+        )
+    )
+    ref = _oracle_gaussian(
+        pats.astype(np.float64), ANG, patch, stride, h0, w0, sigma
+    )
+    np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_divide_integrate_gaussian_identity():
+    # Contributions to any pixel are identical (they all come from the same
+    # extended image), so the normalised blend is the identity too.
+    h0, w0, patch, stride = 40, 56, 32, 16
+    sai = RNG.random((ANG * h0, ANG * w0)).astype(np.float32)
+    patches = lf_divide(jnp.asarray(sai), ANG, patch, stride)
+    views = np.asarray(
+        lf_integrate_gaussian(
+            patches, ANG, patch, stride, h0, w0, sigma=patch / 6.0
+        )
+    )
+    expect = np.asarray(
+        jnp.reshape(jnp.asarray(sai), (ANG, h0, ANG, w0)).transpose(0, 2, 1, 3)
+    )
+    np.testing.assert_allclose(views, expect, rtol=1e-5, atol=1e-6)
+
+
+def _identity_apply(params, x):
+    return x
+
+
+def test_sr_scene_epsw_wiring():
+    # sr_scene(integrate='gaussian') with an identity model reproduces the
+    # input views exactly — exercises the static-arg plumbing end to end.
+    from lfsr_tpu.train.evaluate import sr_scene
+
+    h0 = w0 = 48
+    sai = RNG.random((ANG * h0, ANG * w0)).astype(np.float32)
+    out = np.asarray(
+        sr_scene(
+            _identity_apply, {}, jnp.asarray(sai),
+            ang=ANG, scale=1, patch=32, stride=16, minibatch=4,
+            h0=h0, w0=w0, integrate="gaussian", integrate_sigma=None,
+        )
+    )
+    expect = np.asarray(
+        jnp.reshape(jnp.asarray(sai), (ANG, h0, ANG, w0)).transpose(0, 2, 1, 3)
+    )
+    np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-5)
