@@ -2,9 +2,14 @@
 """Headline benchmark: LF scenes/sec/chip at 5x5 4x SR (flagship model).
 
 Scene geometry follows the HCI benchmark (512x512 HR per view -> 128x128
-LR), tiled into 8x8 = 64 overlapping 160x160 SAI patches (patch 32,
-stride 16 in LR view space) — exactly the reference's evaluation geometry
-(option.py:40-46, train.py:286-319).
+LR). Each model runs through its PRODUCTION eval mode: tiled 8x8 = 64
+overlapping 160x160 SAI patches (patch 32, stride 16 in LR view space —
+exactly the reference's evaluation geometry, option.py:40-46,
+train.py:286-319), or — for models gated whole-scene-capable in the
+registry (the flagship) — ONE un-tiled mirror-extended mosaic per scene,
+which delivers the same SR output at equal-or-better PSNR (trained-
+checkpoint gate, PERF.md round 3) without the overlap grid's 4x
+per-pixel recompute. The reference tiles only to fit GPU memory.
 
 ``vs_baseline`` is the measured scenes/s divided by the PINNED round-1
 number (0.8103 scenes/s, BENCH_r01.json) so progress across rounds is
@@ -51,6 +56,7 @@ def bench_model(model_name: str, minibatch: int | None, iters: int) -> dict:
 
     from lfsr_tpu.config import Config
     from lfsr_tpu.models import registry
+    from lfsr_tpu.models.registry import whole_scene_default
     from lfsr_tpu.train.evaluate import sr_scene
 
     ang, scale, h0 = 5, 4, 128
@@ -58,6 +64,7 @@ def bench_model(model_name: str, minibatch: int | None, iters: int) -> dict:
     if minibatch is not None:
         cfg = cfg.replace(minibatch_for_test=minibatch)
     model = registry.get_model(cfg)
+    whole = whole_scene_default(cfg)  # production eval mode for this model
     rng = np.random.default_rng(0)
     # distinct inputs per iteration; on the axon tunnel block_until_ready
     # returns early, so timings queue N executions and fetch the last
@@ -70,22 +77,40 @@ def bench_model(model_name: str, minibatch: int | None, iters: int) -> dict:
     )
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
 
-    # forward FLOPs per patch from XLA cost analysis (honest convention)
+    # forward FLOPs from XLA cost analysis (honest convention), counted on
+    # the shape the production eval path actually runs: SAI-160 patches
+    # (grid of 64 per scene) for tiled eval, one mirror-extended mosaic
+    # per scene for whole-scene eval.
+    if whole:
+        in_sz = ang * (h0 + 2 * cfg.whole_scene_pad)
+        flops_shape, flops_div = (1, in_sz, in_sz, 1), 1
+    else:
+        flops_shape, flops_div = (8, 160, 160, 1), 8
     comp = (
         jax.jit(model.apply)
-        .lower(params, jnp.zeros((8, 160, 160, 1), jnp.float32))
+        .lower(params, jnp.zeros(flops_shape, jnp.float32))
         .compile()
     )
     ca = comp.cost_analysis()
     ca = ca[0] if isinstance(ca, (list, tuple)) else (ca or {})
-    flops_per_patch = float(ca.get("flops", float("nan"))) / 8
+    flops_unit = float(ca.get("flops", float("nan"))) / flops_div
 
-    kw = dict(
-        ang=ang, scale=scale, patch=cfg.patch_size_for_test,
-        stride=cfg.stride_for_test, minibatch=cfg.minibatch_for_test,
-        h0=h0, w0=h0,
-    )
-    n_patches = 64  # 8x8 grid at this geometry
+    if whole:
+        kw = dict(
+            ang=ang, scale=scale, patch=h0, stride=h0,
+            minibatch=cfg.minibatch_for_test, h0=h0, w0=h0,
+            whole_pad=cfg.whole_scene_pad,
+        )
+        n_patches = 1
+        flops_per_scene = flops_unit
+    else:
+        kw = dict(
+            ang=ang, scale=scale, patch=cfg.patch_size_for_test,
+            stride=cfg.stride_for_test, minibatch=cfg.minibatch_for_test,
+            h0=h0, w0=h0,
+        )
+        n_patches = 64  # 8x8 grid at this geometry
+        flops_per_scene = flops_unit * n_patches
 
     # Each scene reduces to an on-device scalar: forces the whole SR
     # computation without timing the tunnel's multi-MB host fetch, which
@@ -99,17 +124,21 @@ def bench_model(model_name: str, minibatch: int | None, iters: int) -> dict:
     np.asarray(outs[-1])  # fetch forces completion of the whole queue
     scene_s = (time.perf_counter() - t0) / iters
     scenes_per_sec = 1.0 / scene_s
-    patches_per_sec = n_patches * scenes_per_sec
-    mfu = patches_per_sec * flops_per_patch / V5E_BF16_PEAK_FLOPS
-    return {
+    mfu = scenes_per_sec * flops_per_scene / V5E_BF16_PEAK_FLOPS
+    out = {
         "model": model_name,
         "scenes_per_sec": round(scenes_per_sec, 4),
-        "patches_per_sec": round(patches_per_sec, 2),
         "mfu": round(mfu, 4),
-        "flops_per_patch_g": round(flops_per_patch / 1e9, 2),
         "params": n_params,
         "minibatch_for_test": cfg.minibatch_for_test,
+        "eval_mode": "whole_scene" if whole else "tiled",
     }
+    if whole:
+        out["flops_per_scene_g"] = round(flops_per_scene / 1e9, 2)
+    else:
+        out["patches_per_sec"] = round(n_patches * scenes_per_sec, 2)
+        out["flops_per_patch_g"] = round(flops_unit / 1e9, 2)
+    return out
 
 
 def main():
@@ -136,22 +165,21 @@ def main():
 
     # Default / driver mode: the pinned flagship headline, ONE JSON line.
     r = bench_model("LFMambaX", args.minibatch, args.iters or 6)
-    print(
-        json.dumps(
-            {
-                "metric": "LF scenes/sec/chip (5x5 4x SR, 512x512 HR scene, LFMambaX)",
-                "value": r["scenes_per_sec"],
-                "unit": "scenes/s",
-                "vs_baseline": round(
-                    r["scenes_per_sec"] / BASELINE_R01_SCENES_PER_S, 3
-                ),
-                "patches_per_sec": r["patches_per_sec"],
-                "mfu": r["mfu"],
-                "flops_per_patch_g": r["flops_per_patch_g"],
-                "minibatch_for_test": r["minibatch_for_test"],
-            }
-        )
-    )
+    line = {
+        "metric": "LF scenes/sec/chip (5x5 4x SR, 512x512 HR scene, LFMambaX)",
+        "value": r["scenes_per_sec"],
+        "unit": "scenes/s",
+        "vs_baseline": round(
+            r["scenes_per_sec"] / BASELINE_R01_SCENES_PER_S, 3
+        ),
+        "mfu": r["mfu"],
+        "eval_mode": r["eval_mode"],
+        "minibatch_for_test": r["minibatch_for_test"],
+    }
+    for k in ("patches_per_sec", "flops_per_patch_g", "flops_per_scene_g"):
+        if k in r:
+            line[k] = r[k]
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -76,6 +76,12 @@ class Config:
     # None = auto: defer to the model registry's per-model capability
     # (registry.whole_scene_default); True/False forces the mode.
     whole_scene_for_test: Optional[bool] = None
+    # Mirror-extend each view by this many LR pixels before an un-tiled
+    # call (cropped back after). Tiled eval gives border patches a
+    # symmetric continuation via lf_divide's ImageExtend; without this the
+    # raw borders cost -0.036 dB on the trained-checkpoint gate, with
+    # pad=8 whole-scene PSNR is >= tiled (PERF.md round-3 pad sweep).
+    whole_scene_pad: int = 8
     # EPSW (Enhanced Position-Sensitive Windowing, MyEfficientLFNetV4_3.py:
     # 148-216): blend overlapping SR patches with a Gaussian weight centred
     # on each patch instead of the hard center crop. Only meaningful for

@@ -591,7 +591,11 @@ class HLFR(nn.Module):
         return out * out_scale
 
 
-@register_model("LFMambaX", loss=losses.composite_v8_builder)
+# whole_scene_ok: un-tiled eval is the TPU production default for the
+# flagship — fully convolutional, and whole-scene+pad8 PSNR gated >= tiled
+# on the trained demo checkpoint (PERF.md round-3 pad sweep: 26.3565 vs
+# 26.3562 tiled, 207 vs 573 ms/scene).
+@register_model("LFMambaX", loss=losses.composite_v8_builder, whole_scene_ok=True)
 class LFMambaX(nn.Module):
     cfg: Config
 

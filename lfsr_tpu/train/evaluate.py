@@ -46,7 +46,7 @@ def _integrate(sr, ang_out, patch, scale, stride, h0, w0, integrate, sigma):
     jax.jit,
     static_argnames=(
         "apply_fn", "ang", "scale", "patch", "stride", "minibatch", "h0", "w0",
-        "ang_out", "integrate", "integrate_sigma",
+        "ang_out", "integrate", "integrate_sigma", "whole_pad",
     ),
 )
 def sr_scene(
@@ -64,6 +64,7 @@ def sr_scene(
     ang_out: int | None = None,
     integrate: str = "crop",
     integrate_sigma: float | None = None,
+    whole_pad: int = 0,
 ) -> jnp.ndarray:
     """Super-resolve one whole scene. Returns SR views
     [A_out, A_out, h0*s, w0*s]. For the RE (angular reconstruction) task
@@ -76,10 +77,21 @@ def sr_scene(
     tiles only to fit GPU memory, train.py:307-313)."""
     ang_out = ang_out or ang
     if patch >= h0 and patch >= w0:
-        from lfsr_tpu.ops.layout import sai_to_views
+        from lfsr_tpu.ops.layout import sai_to_views, views_to_sai
 
+        if whole_pad:
+            # mirror-extend each view so scene borders see the same
+            # symmetric continuation tiled eval gives them via lf_divide
+            p = whole_pad
+            v = sai_to_views(lr_sai, ang)
+            v = jnp.pad(v, ((0, 0), (0, 0), (p, p), (p, p)), mode="symmetric")
+            lr_sai = views_to_sai(v, ang)
         sr = apply_fn(params, lr_sai[None, ..., None])[0, ..., 0]
-        return sai_to_views(sr, ang_out)
+        out = sai_to_views(sr, ang_out)
+        if whole_pad:
+            ps = whole_pad * scale
+            out = out[..., ps : ps + h0 * scale, ps : ps + w0 * scale]
+        return out
     patches = lf_divide(lr_sai, ang, patch, stride)  # [N, A*p, A*p]
     n = patches.shape[0]
     n_pad = -(-n // minibatch) * minibatch
@@ -112,6 +124,7 @@ def sr_scene_sharded(
     ang_out: int | None = None,
     integrate: str = "crop",
     integrate_sigma: float | None = None,
+    whole_pad: int = 0,  # accepted for kw-compat with sr_scene; unused (tiled)
 ) -> jnp.ndarray:
     """Multi-chip tiled SR: the patch grid is data-parallel over ``mesh``.
 
@@ -163,24 +176,42 @@ def _sharded_runner(apply_fn, mesh, ang_out, patch, scale, stride, h0, w0, n,
 
 
 @functools.lru_cache(maxsize=64)
-def _whole_sharded_runner(apply_fn, mesh, ang_out):
+def _whole_sharded_runner(apply_fn, mesh, ang, ang_out, scale, whole_pad):
     """Cached jitted scene-batch runner: whole scenes data-parallel over
-    the mesh (params replicated). One compile per mesh + geometry."""
+    the mesh (params replicated). One compile per mesh + geometry.
+    ``whole_pad`` applies the same per-view mirror extension as
+    :func:`sr_scene`'s whole mode (border parity with tiled eval)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = NamedSharding(mesh, P())
     shard_n = NamedSharding(mesh, P("data"))
 
     def run(params_, sais_):  # [N, A*h0, A*w0]
-        sr = apply_fn(params_, sais_[..., None])[..., 0]
+        x = sais_
+        if whole_pad:
+            p = whole_pad
+            n_, H_, W_ = x.shape
+            v = x.reshape(n_, ang, H_ // ang, ang, W_ // ang)
+            v = jnp.pad(
+                v, ((0, 0), (0, 0), (p, p), (0, 0), (p, p)), mode="symmetric"
+            )
+            x = v.reshape(n_, ang * (H_ // ang + 2 * p), ang * (W_ // ang + 2 * p))
+        sr = apply_fn(params_, x[..., None])[..., 0]
         n, H, W = sr.shape
         v = sr.reshape(n, ang_out, H // ang_out, ang_out, W // ang_out)
-        return jnp.moveaxis(v, 2, 3)  # [N, A, A, h, w]
+        v = jnp.moveaxis(v, 2, 3)  # [N, A, A, h, w]
+        if whole_pad:
+            ps = whole_pad * scale
+            v = v[..., ps : v.shape[-2] - ps, ps : v.shape[-1] - ps]
+        return v
 
     return jax.jit(run, in_shardings=(repl, shard_n), out_shardings=repl)
 
 
-def sr_scenes_whole_sharded(apply_fn, params, lr_sais, mesh, *, ang_out: int):
+def sr_scenes_whole_sharded(
+    apply_fn, params, lr_sais, mesh, *, ang: int, ang_out: int,
+    scale: int = 1, whole_pad: int = 0,
+):
     """Whole-scene SR for a batch of same-geometry scenes, data-parallel
     across ``mesh``. ``lr_sais``: [N, A*h0, A*w0] (N padded to a multiple
     of the mesh size here). Returns [N, A_out, A_out, h0*s, w0*s].
@@ -192,7 +223,9 @@ def sr_scenes_whole_sharded(apply_fn, params, lr_sais, mesh, *, ang_out: int):
     n = lr_sais.shape[0]
     n_pad = -(-n // n_dev) * n_dev
     sais = jnp.pad(jnp.asarray(lr_sais), ((0, n_pad - n), (0, 0), (0, 0)))
-    out = _whole_sharded_runner(apply_fn, mesh, ang_out)(params, sais)
+    out = _whole_sharded_runner(apply_fn, mesh, ang, ang_out, scale, whole_pad)(
+        params, sais
+    )
     return out[:n]
 
 
@@ -225,6 +258,7 @@ def evaluate_scene(apply_fn, params, scene, cfg: Config, mesh=None):
         ang_out=ang_out,
         integrate="gaussian" if (cfg.epsw_for_test and not whole) else "crop",
         integrate_sigma=cfg.epsw_sigma,
+        whole_pad=cfg.whole_scene_pad if whole else 0,
     )
     if whole:
         # one un-tiled call — nothing to shard across a data mesh
@@ -280,7 +314,9 @@ def evaluate_sets(apply_fn, params, scenes_by_set: dict, cfg: Config, log=print,
             for group in by_geo.values():
                 batch = jnp.stack([jnp.asarray(sc.lr_y) for sc in group])
                 views = sr_scenes_whole_sharded(
-                    apply_fn, params, batch, mesh, ang_out=cfg.angRes_out
+                    apply_fn, params, batch, mesh,
+                    ang=cfg.angRes, ang_out=cfg.angRes_out,
+                    scale=s_factor, whole_pad=cfg.whole_scene_pad,
                 )
                 for sc, v in zip(group, views):
                     scored[sc.name] = _score_views(

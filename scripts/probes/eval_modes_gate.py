@@ -40,9 +40,10 @@ sets = load_test_scenes(base.path_for_test, 5, 4, "ALL", tag=base.task_tag())
 scenes = sets["SynthVal"]
 
 modes = {
-    "tiled-crop (production)": base,
-    "tiled-EPSW": base.replace(epsw_for_test=True),
-    "whole-scene": base.replace(whole_scene_for_test=True),
+    "tiled-crop (reference)": base.replace(whole_scene_for_test=False),
+    "tiled-EPSW": base.replace(whole_scene_for_test=False, epsw_for_test=True),
+    "whole-scene pad=0": base.replace(whole_scene_for_test=True, whole_scene_pad=0),
+    "whole-scene (production)": base.replace(whole_scene_for_test=True),
 }
 for name, cfg in modes.items():
     ps, ss, ts = [], [], []

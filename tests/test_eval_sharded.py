@@ -51,7 +51,9 @@ def test_whole_scene_batch_sharded_matches_per_scene():
     sais = jnp.asarray(RNG.random((3, ANG * h0, ANG * h0)), jnp.float32)
     mesh = Mesh(np.asarray(jax.devices()[:8]), axis_names=("data",))
     batched = np.asarray(
-        sr_scenes_whole_sharded(model.apply, params, sais, mesh, ang_out=ANG)
+        sr_scenes_whole_sharded(
+            model.apply, params, sais, mesh, ang=ANG, ang_out=ANG
+        )
     )
     for i in range(3):
         single = np.asarray(

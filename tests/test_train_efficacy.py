@@ -102,6 +102,7 @@ def test_flagship_trains_past_bicubic():
         patch_size_for_test=8,
         stride_for_test=4,
         minibatch_for_test=4,
+        whole_scene_for_test=False,  # this pin regresses the TILED path
         mesh_shape=(1,),
     )
     steps = max(1, len(data) // cfg.batch_size)
