@@ -81,3 +81,19 @@ def test_evaluate_scene_whole_flag():
         np.asarray(views_w), np.asarray(views_t), atol=1e-6
     )
     assert abs(p_w - p_t) < 1e-4 and abs(s_w - s_t) < 1e-4
+
+
+def test_whole_scene_pad_identity_for_local_model():
+    """whole_pad mirror-extends each view then crops the SR back; for a
+    pixel-local model the padded and unpadded outputs are identical, so
+    this isolates the pad/crop index algebra (incl. odd geometries that
+    fall outside the Pallas kernels' alignment envelope)."""
+    for h0, w0 in ((16, 16), (30, 26)):
+        lr = jnp.asarray(
+            np.random.default_rng(1).random((ANG * h0, ANG * w0)), jnp.float32
+        )
+        kw = dict(ang=ANG, scale=SCALE, patch=max(h0, w0), stride=max(h0, w0),
+                  minibatch=1, h0=h0, w0=w0)
+        base = sr_scene(_pointwise_apply, None, lr, **kw)
+        padded = sr_scene(_pointwise_apply, None, lr, whole_pad=8, **kw)
+        np.testing.assert_array_equal(np.asarray(padded), np.asarray(base))
