@@ -269,16 +269,72 @@ def selective_scan_proj(u, dbc, Wdt, bdt, A, D_skip, chunk: int = 256):
     return y
 
 
+# Backward implementation switch: 'pallas' = the chunked adjoint-scan
+# kernel (round 3 — see the backward section at the bottom of this file);
+# 'ref' = VJP through the associative-scan reference (the pre-round-3
+# path, kept for A/B and as a numerical oracle).
+_SCAN_BWD_IMPL = {"impl": "pallas"}
+
+
+def set_scan_bwd_impl(impl: str):
+    assert impl in ("pallas", "ref"), impl
+    _SCAN_BWD_IMPL["impl"] = impl
+
+
 def _sp_fwd(u, dbc, Wdt, bdt, A, D_skip, chunk):
-    return (
-        selective_scan_proj(u, dbc, Wdt, bdt, A, D_skip, chunk),
-        (u, dbc, Wdt, bdt, A, D_skip),
+    if _SCAN_BWD_IMPL["impl"] != "pallas":
+        return (
+            selective_scan_proj(u, dbc, Wdt, bdt, A, D_skip, chunk),
+            (u, dbc, Wdt, bdt, A, D_skip, None),
+        )
+    interpret = jax.default_backend() != "tpu"
+    y, h_bounds = _scan_proj_raw_states(
+        u, dbc, Wdt, bdt, A, chunk=chunk, interpret=interpret
     )
+    if D_skip is not None:
+        y = (y.astype(jnp.float32)
+             + u.astype(jnp.float32) * D_skip[None, None]).astype(u.dtype)
+    return y, (u, dbc, Wdt, bdt, A, D_skip, h_bounds)
 
 
 def _sp_bwd(chunk, res, g):
-    _, vjp = jax.vjp(scan_proj_ref, *res)
-    return vjp(g)
+    u, dbc, Wdt, bdt, A, D_skip, h_bounds = res
+    if h_bounds is None:  # reference VJP (scan_bwd_impl='ref')
+        _, vjp = jax.vjp(scan_proj_ref, u, dbc, Wdt, bdt, A, D_skip)
+        return vjp(g)
+    f32 = jnp.float32
+    interpret = jax.default_backend() != "tpu"
+    du_s, ddt, dB, dC, dA_part = _scan_proj_bwd_raw(
+        u, dbc, g, Wdt, bdt, A, h_bounds, chunk=chunk, interpret=interpret
+    )
+    R = Wdt.shape[0]
+    # dt low-rank projection chain — fat MXU matmuls, left to XLA
+    raw = (
+        jnp.einsum(
+            "blr,rd->bld", dbc[..., :R].astype(f32), Wdt.astype(f32),
+            preferred_element_type=f32,
+        )
+        + bdt.astype(f32)
+    )
+    ddtraw = ddt * jax.nn.sigmoid(raw)  # d softplus
+    d_dt_lanes = jnp.einsum(
+        "bld,rd->blr", ddtraw, Wdt.astype(f32), preferred_element_type=f32
+    )
+    ddbc = jnp.concatenate([d_dt_lanes, dB, dC], axis=-1).astype(dbc.dtype)
+    dWdt = jnp.einsum(
+        "blr,bld->rd", dbc[..., :R].astype(f32), ddtraw,
+        preferred_element_type=f32,
+    ).astype(Wdt.dtype)
+    dbdt = jnp.sum(ddtraw, axis=(0, 1)).astype(bdt.dtype)
+    dA = jnp.sum(dA_part, axis=0).T.astype(A.dtype)  # [B,N,D] -> [D,N]
+    du = du_s
+    if D_skip is not None:
+        gy = g.astype(f32)
+        du = du + gy * D_skip[None, None].astype(f32)
+        dD = jnp.sum(gy * u.astype(f32), axis=(0, 1)).astype(D_skip.dtype)
+    else:
+        dD = None
+    return (du.astype(u.dtype), ddbc, dWdt, dbdt, dA, dD)
 
 
 selective_scan_proj.defvjp(_sp_fwd, _sp_bwd)
@@ -733,3 +789,339 @@ def _bwd(chunk, pre_softplus, res, g):
 
 
 selective_scan_fused.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Pallas BACKWARD kernel for selective_scan_proj (round 3).
+#
+# The associative-scan reference VJP dominated the train step: 145 ms per
+# Mamba at B8/L25600 (PERF.md scan table) x 12 blocks ~= 1.7 s of the
+# 2.34 s step. The adjoint recurrence is itself a selective scan run in
+# REVERSE time —
+#     lam_t = C_t (x) dy_t + dA_{t+1} * lam_{t+1}
+# — so the same chunked VMEM-carry machinery applies: the forward kernel
+# additionally saves the [N, D] state at each grid-block boundary (tiny:
+# [B, L/blk, N, D]), and the backward grid walks blocks in reverse,
+# recomputing in-chunk forward states from the saved boundary (pass 1)
+# and running the reverse adjoint scan + all gradient contractions in
+# VMEM (pass 2). This mirrors mamba_ssm's CUDA backward
+# (selective_scan_bwd_kernel.cuh) structure, re-derived for the TPU
+# grid/VMEM model. Gradients that are fat MXU matmuls (the dt low-rank
+# projection chain) stay OUTSIDE in XLA.
+# ---------------------------------------------------------------------------
+
+
+def _chunk_scan_h(dA, dBx, h0, *, T, N, D):
+    """State-only chunk update: the [N, D] state after the chunk."""
+    S = 8 if T % 8 == 0 and T >= 64 else 1
+    M = T // S
+    a4 = dA.reshape(M, S, N, D)
+    b4 = dBx.reshape(M, S, N, D)
+    sa = [a4[:, s] for s in range(S)]
+    sb = [b4[:, s] for s in range(S)]
+    for s in range(1, S):
+        sb[s] = sb[s] + sa[s] * sb[s - 1]
+        sa[s] = sa[s] * sa[s - 1]
+    ta, tb = sa[S - 1], sb[S - 1]
+    shift = 1
+    while shift < M:
+        pa = jnp.concatenate(
+            [jnp.ones((shift, N, D), jnp.float32), ta[: M - shift]], axis=0
+        )
+        pb = jnp.concatenate(
+            [jnp.zeros((shift, N, D), jnp.float32), tb[: M - shift]], axis=0
+        )
+        tb = tb + ta * pb
+        ta = ta * pa
+        shift *= 2
+    return tb[M - 1] + ta[M - 1] * h0
+
+
+def _chunk_scan_states(dA, dBx, h0, *, T, N, D):
+    """Like _chunk_scan but returns ALL per-step states [T, N, D]
+    (needed by the backward's dC / d-delta / dA contractions)."""
+    S = 8 if T % 8 == 0 and T >= 64 else 1
+    M = T // S
+    a4 = dA.reshape(M, S, N, D)
+    b4 = dBx.reshape(M, S, N, D)
+    sa = [a4[:, s] for s in range(S)]
+    sb = [b4[:, s] for s in range(S)]
+    for s in range(1, S):
+        sb[s] = sb[s] + sa[s] * sb[s - 1]
+        sa[s] = sa[s] * sa[s - 1]
+    ta, tb = sa[S - 1], sb[S - 1]
+    shift = 1
+    while shift < M:
+        pa = jnp.concatenate(
+            [jnp.ones((shift, N, D), jnp.float32), ta[: M - shift]], axis=0
+        )
+        pb = jnp.concatenate(
+            [jnp.zeros((shift, N, D), jnp.float32), tb[: M - shift]], axis=0
+        )
+        tb = tb + ta * pb
+        ta = ta * pa
+        shift *= 2
+    pstate = jnp.concatenate(
+        [jnp.broadcast_to(h0[None], (1, N, D)), tb[: M - 1] + ta[: M - 1] * h0[None]],
+        axis=0,
+    )
+    h_all = jnp.stack(
+        [sb[s] + sa[s] * pstate for s in range(S)], axis=1
+    ).reshape(T, N, D)
+    return h_all, tb[M - 1] + ta[M - 1] * h0
+
+
+def _chunk_scan_rev(m, g, *, T, N, D):
+    """Reverse inclusive scan: lam_t = g_t + m_t * lam_{t+1}, lam_T = 0
+    (the cross-chunk seed is pre-folded into g_{T-1} by the caller).
+    Returns (lam [T, N, D], lam_0 [N, D]). Mirrors _chunk_scan with the
+    fold direction and Hillis-Steele concats flipped — no data reversal
+    needed in VMEM."""
+    S = 8 if T % 8 == 0 and T >= 64 else 1
+    M = T // S
+    m4 = m.reshape(M, S, N, D)
+    g4 = g.reshape(M, S, N, D)
+    sa = [m4[:, s] for s in range(S)]
+    sb = [g4[:, s] for s in range(S)]
+    for s in range(S - 2, -1, -1):
+        sb[s] = sb[s] + sa[s] * sb[s + 1]
+        sa[s] = sa[s] * sa[s + 1]
+    ta, tb = sa[0], sb[0]
+    shift = 1
+    while shift < M:
+        pa = jnp.concatenate(
+            [ta[shift:], jnp.ones((shift, N, D), jnp.float32)], axis=0
+        )
+        pb = jnp.concatenate(
+            [tb[shift:], jnp.zeros((shift, N, D), jnp.float32)], axis=0
+        )
+        tb = tb + ta * pb
+        ta = ta * pa
+        shift *= 2
+    pstate = jnp.concatenate([tb[1:], jnp.zeros((1, N, D), jnp.float32)], axis=0)
+    lam = jnp.stack(
+        [sb[s] + sa[s] * pstate for s in range(S)], axis=1
+    ).reshape(T, N, D)
+    return lam, tb[0]
+
+
+def _scan_proj_states_kernel(u_ref, dbc_ref, wdt_ref, bdt_ref, a_ref,
+                             y_ref, hb_ref, h_carry, *, T, inner, R):
+    """_scan_proj_kernel that also records the block-start state (the
+    backward's recompute seed)."""
+    li = pl.program_id(1)
+
+    @pl.when(li == 0)
+    def _():
+        h_carry[:] = jnp.zeros_like(h_carry)
+
+    hb_ref[0, 0] = h_carry[:]  # state BEFORE this block
+
+    A = a_ref[:].astype(jnp.float32)  # [N, D]
+    N, D = A.shape
+    Wdt = wdt_ref[:].astype(jnp.float32)
+    bdt = bdt_ref[:].astype(jnp.float32)
+
+    def body(k, h0):
+        sl = pl.ds(k * T, T)
+        u = u_ref[0, sl, :].astype(jnp.float32)
+        dbc = dbc_ref[0, sl, :].astype(jnp.float32)
+        dt = jax.nn.softplus(
+            jnp.dot(dbc[:, :R], Wdt, preferred_element_type=jnp.float32) + bdt
+        )
+        Bc = dbc[:, R : R + N]
+        Cc = dbc[:, R + N : R + 2 * N]
+        dA = jnp.exp(dt[:, None, :] * A[None])
+        dBx = Bc[:, :, None] * (dt * u)[:, None, :]
+        y, h_new = _chunk_scan(dA, dBx, Cc, h0, T=T, N=N, D=D)
+        y_ref[0, sl, :] = y.astype(y_ref.dtype)
+        return h_new
+
+    h_carry[:] = jax.lax.fori_loop(0, inner, body, h_carry[:])
+
+
+def _scan_proj_raw_states(u, dbc, Wdt, bdt, A, chunk: int = 256,
+                          interpret: bool = False):
+    """Forward kernel emitting (y, h_bounds [B, n_blocks, N, D])."""
+    B, L, D = u.shape
+    N = A.shape[1]
+    R = Wdt.shape[0]
+    chunk = min(chunk, L)
+    assert L % chunk == 0, f"L={L} % chunk={chunk} != 0 (pad upstream)"
+    inner = _pick_inner(L // chunk, max_inner=16)
+    blk = chunk * inner
+    n_blocks = L // blk
+    grid = (B, n_blocks)
+
+    def idx_bt(i, j):
+        return (i, j, 0)
+
+    def idx_w(i, j):
+        return (0, 0)
+
+    return pl.pallas_call(
+        functools.partial(_scan_proj_states_kernel, T=chunk, inner=inner, R=R),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, blk, D), idx_bt, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, R + 2 * N), idx_bt, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, D), idx_w, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), idx_w, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, D), idx_w, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, blk, D), idx_bt, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, N, D), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L, D), u.dtype),
+            jax.ShapeDtypeStruct((B, n_blocks, N, D), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((N, D), jnp.float32)],
+        interpret=interpret,
+    )(u, dbc, Wdt, bdt[None], A.T)
+
+
+def _scan_proj_bwd_kernel(u_ref, dbc_ref, dy_ref, wdt_ref, bdt_ref, a_ref,
+                          hb_ref, du_ref, ddt_ref, db_ref, dc_ref, da_ref,
+                          mu_carry, *, T, inner, R, n_blocks):
+    """One reversed (batch row, block) grid step of the adjoint scan.
+
+    Both chunk walks are unrolled at Python level (``inner`` is static):
+    Mosaic cannot lower dynamic-index scratch access inside fori, and
+    unrolling lets the chunk-start states live as SSA values instead of a
+    scratch buffer."""
+    j = pl.program_id(1)
+
+    A = a_ref[:].astype(jnp.float32)  # [N, D]
+    N, D = A.shape
+    Wdt = wdt_ref[:].astype(jnp.float32)
+    bdt = bdt_ref[:].astype(jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        mu_carry[:] = jnp.zeros_like(mu_carry)
+        da_ref[:] = jnp.zeros_like(da_ref)
+
+    def coeffs(k):
+        sl = pl.ds(k * T, T)
+        u = u_ref[0, sl, :].astype(jnp.float32)
+        dbc = dbc_ref[0, sl, :].astype(jnp.float32)
+        dt = jax.nn.softplus(
+            jnp.dot(dbc[:, :R], Wdt, preferred_element_type=jnp.float32) + bdt
+        )
+        Bc = dbc[:, R : R + N]
+        Cc = dbc[:, R + N : R + 2 * N]
+        dA = jnp.exp(dt[:, None, :] * A[None])
+        return u, dt, Bc, Cc, dA
+
+    # pass 1: forward state recompute — chunk-start states as values
+    hs = []
+    h = hb_ref[0, 0].astype(jnp.float32)
+    for k in range(inner):
+        hs.append(h)
+        u, dt, Bc, _, dA = coeffs(k)
+        dBx = Bc[:, :, None] * (dt * u)[:, None, :]
+        h = _chunk_scan_h(dA, dBx, h, T=T, N=N, D=D)
+
+    # pass 2: reverse adjoint scan + gradient contractions, chunk by chunk
+    mu = mu_carry[:]
+    da_acc = jnp.zeros((N, D), jnp.float32)
+    for k in range(inner - 1, -1, -1):
+        sl = pl.ds(k * T, T)
+        u, dt, Bc, Cc, dA = coeffs(k)
+        dy = dy_ref[0, sl, :].astype(jnp.float32)
+        h0c = hs[k]
+        dBx = Bc[:, :, None] * (dt * u)[:, None, :]
+        h_all, _ = _chunk_scan_states(dA, dBx, h0c, T=T, N=N, D=D)
+        xprev = jnp.concatenate([h0c[None], h_all[: T - 1]], axis=0)
+        g = Cc[:, :, None] * dy[:, None, :]
+        # NOTE: positive indices only — g[-1] lowers to dynamic_slice,
+        # which Mosaic cannot lower inside a TC kernel
+        g = jnp.concatenate([g[: T - 1], (g[T - 1] + mu)[None]], axis=0)
+        m = jnp.concatenate(
+            [dA[1:], jnp.ones((1,) + dA.shape[1:], jnp.float32)], axis=0
+        )
+        lam, lam0 = _chunk_scan_rev(m, g, T=T, N=N, D=D)
+
+        s1 = jnp.sum(lam * Bc[:, :, None], axis=1)        # [T, D]
+        w = lam * dA * xprev                              # [T, N, D]
+        ddt = jnp.sum(w * A[None], axis=1) + s1 * u       # [T, D]
+        du_ref[0, sl, :] = (s1 * dt).astype(du_ref.dtype)
+        ddt_ref[0, sl, :] = ddt.astype(ddt_ref.dtype)
+        db_ref[0, sl, :] = jnp.sum(
+            lam * (dt * u)[:, None, :], axis=2
+        ).astype(db_ref.dtype)
+        dc_ref[0, sl, :] = jnp.sum(
+            h_all * dy[:, None, :], axis=2
+        ).astype(dc_ref.dtype)
+        da_acc = da_acc + jnp.sum(w * dt[:, None, :], axis=0)  # [N, D]
+        mu = dA[0] * lam0
+
+    da_ref[:] += da_acc
+    mu_carry[:] = mu
+
+
+def _scan_proj_bwd_raw(u, dbc, dy, Wdt, bdt, A, h_bounds, chunk: int = 256,
+                       interpret: bool = False):
+    """Pallas adjoint: returns (du_scan, ddt, dB, dC, dA_part[B,N,D]) —
+    all per-step grads f32, dt-projection chain left to XLA outside."""
+    B, L, D = u.shape
+    N = A.shape[1]
+    R = Wdt.shape[0]
+    chunk = min(chunk, L)
+    assert L % chunk == 0
+    inner = _pick_inner(L // chunk, max_inner=16)
+    blk = chunk * inner
+    n_blocks = L // blk
+    assert h_bounds.shape == (B, n_blocks, N, D), h_bounds.shape
+    grid = (B, n_blocks)
+
+    def idx_rev(i, j):
+        return (i, n_blocks - 1 - j, 0)
+
+    def idx_w(i, j):
+        return (0, 0)
+
+    return pl.pallas_call(
+        functools.partial(
+            _scan_proj_bwd_kernel, T=chunk, inner=inner, R=R, n_blocks=n_blocks
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, blk, D), idx_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, R + 2 * N), idx_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, D), idx_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, D), idx_w, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), idx_w, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, D), idx_w, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, N, D),
+                lambda i, j: (i, n_blocks - 1 - j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, blk, D), idx_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, D), idx_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, N), idx_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, N), idx_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, N, D), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, L, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, L, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, L, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, D), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((N, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(u, dbc, dy, Wdt, bdt[None], A.T, h_bounds)
