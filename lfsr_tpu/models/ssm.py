@@ -96,11 +96,21 @@ class Mamba(nn.Module):
 
         L = xs.shape[1]
         on_tpu = jax.default_backend() == "tpu"
-        if self.scan_impl in ("pallas", "gated") and on_tpu and L % 128 == 0:
+        if self.scan_impl in ("pallas", "gated") and on_tpu:
             # XLA dense ops + Pallas scan (fastest measured split)
             xc = self._conv_silu(xs, w_conv, b_conv, dt)
             dbc = xc @ w_x.astype(dt)
-            chunk = 256 if L % 256 == 0 else 128
+            # The kernel needs L % chunk == 0. The scan is causal, so
+            # zero-padding the TAIL leaves outputs [:L] bit-exact — pad
+            # here rather than fall back to the associative-scan
+            # reference, whose O(log L) [B,L,Di,N] HBM intermediates OOM
+            # at whole-scene lengths (L=533k at the NTIRE Real geometry
+            # allocated a 4 GB exp() alone).
+            Lp = -(-L // 128) * 128
+            if Lp != L:
+                xc = jnp.pad(xc, ((0, 0), (0, Lp - L), (0, 0)))
+                dbc = jnp.pad(dbc, ((0, 0), (0, Lp - L), (0, 0)))
+            chunk = 256 if Lp % 256 == 0 else 128
             if self.scan_impl == "gated":
                 # epilogue (D-skip + silu(z) gate + out_proj) fused into
                 # the kernel — measured NEUTRAL on v5e (2.79 vs 2.64 ms at
@@ -111,16 +121,23 @@ class Mamba(nn.Module):
 
                 dt_raw = dbc[..., :R] @ w_dt.astype(dt) + b_dt.astype(dt)
                 Bc, Cc = dbc[..., R : R + N], dbc[..., R + N :]
-                return scan_gated_fused(
-                    xc, dt_raw, A, Bc, Cc, z, D_skip, w_out.astype(dt),
+                zp = (
+                    jnp.pad(z, ((0, 0), (0, Lp - L), (0, 0)))
+                    if Lp != L else z
+                )
+                out = scan_gated_fused(
+                    xc, dt_raw, A, Bc, Cc, zp, D_skip, w_out.astype(dt),
                     chunk, True
                 )
+                return out[:, :L] if Lp != L else out
             # dt projection + softplus + B/C extraction run INSIDE the
             # kernel off the raw x_proj output — avoids the [B, L, Di]
             # dt_raw round-trip and the narrow [B, L, N] lane extractions
             from lfsr_tpu.ops.pallas_scan import selective_scan_proj
 
             y = selective_scan_proj(xc, dbc, w_dt, b_dt, A, D_skip, chunk)
+            if Lp != L:
+                y = y[:, :L]
             # (Gating in bf16 instead measured NEUTRAL at mb=2 — the f32
             # casts here fuse into neighbors; keep the f32 gate precision.)
             y = y.astype(jnp.float32) * jax.nn.silu(z.astype(jnp.float32))

@@ -81,10 +81,15 @@ def sr_scene(
 
         if whole_pad:
             # mirror-extend each view so scene borders see the same
-            # symmetric continuation tiled eval gives them via lf_divide
+            # symmetric continuation tiled eval gives them via lf_divide;
+            # bottom/right pads round the padded extent up to a multiple
+            # of 8 so the aligned Pallas kernel paths stay engaged at
+            # arbitrary scene geometries (crop below uses top-left = p)
             p = whole_pad
+            pb = p + (-(h0 + 2 * p) % 8)
+            pr = p + (-(w0 + 2 * p) % 8)
             v = sai_to_views(lr_sai, ang)
-            v = jnp.pad(v, ((0, 0), (0, 0), (p, p), (p, p)), mode="symmetric")
+            v = jnp.pad(v, ((0, 0), (0, 0), (p, pb), (p, pr)), mode="symmetric")
             lr_sai = views_to_sai(v, ang)
         sr = apply_fn(params, lr_sai[None, ..., None])[0, ..., 0]
         out = sai_to_views(sr, ang_out)
@@ -188,21 +193,24 @@ def _whole_sharded_runner(apply_fn, mesh, ang, ang_out, scale, whole_pad):
 
     def run(params_, sais_):  # [N, A*h0, A*w0]
         x = sais_
+        n_, H_, W_ = x.shape
+        h0_, w0_ = H_ // ang, W_ // ang
         if whole_pad:
             p = whole_pad
-            n_, H_, W_ = x.shape
-            v = x.reshape(n_, ang, H_ // ang, ang, W_ // ang)
+            pb = p + (-(h0_ + 2 * p) % 8)
+            pr = p + (-(w0_ + 2 * p) % 8)
+            v = x.reshape(n_, ang, h0_, ang, w0_)
             v = jnp.pad(
-                v, ((0, 0), (0, 0), (p, p), (0, 0), (p, p)), mode="symmetric"
+                v, ((0, 0), (0, 0), (p, pb), (0, 0), (p, pr)), mode="symmetric"
             )
-            x = v.reshape(n_, ang * (H_ // ang + 2 * p), ang * (W_ // ang + 2 * p))
+            x = v.reshape(n_, ang * (h0_ + p + pb), ang * (w0_ + p + pr))
         sr = apply_fn(params_, x[..., None])[..., 0]
         n, H, W = sr.shape
         v = sr.reshape(n, ang_out, H // ang_out, ang_out, W // ang_out)
         v = jnp.moveaxis(v, 2, 3)  # [N, A, A, h, w]
         if whole_pad:
             ps = whole_pad * scale
-            v = v[..., ps : v.shape[-2] - ps, ps : v.shape[-1] - ps]
+            v = v[..., ps : ps + h0_ * scale, ps : ps + w0_ * scale]
         return v
 
     return jax.jit(run, in_shardings=(repl, shard_n), out_shardings=repl)
