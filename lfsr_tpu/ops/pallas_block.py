@@ -139,11 +139,13 @@ def _supported(x) -> bool:
     """Hardware envelope: square sublane-aligned maps (mirrors the
     cross-scan kernels' conservative gate, pallas_layout._gather_supported).
 
-    Batch gate: measured full-flagship A/B on v5e at [B,160,160,64] —
+    Work gate: measured full-flagship A/B on v5e at [B,160,160,64] —
     per-patch ms (XLA / fused): B=2 9.44/9.55, B=4 12.74/11.25,
-    B=8 12.71/10.70. The kernel loses ~1% in the latency-bound
-    production-eval regime (minibatch_for_test=2) and wins 12-16% from
-    B=4 up, so it engages only for batch >= 4 (training, batched eval)."""
+    B=8 12.71/10.70. The kernel loses ~1% in the latency-bound regime
+    and wins 12-16% once the dispatch is throughput-bound, so it engages
+    above a total-PIXEL threshold (4 x 160^2) rather than a batch count:
+    batched training/eval at B >= 4 qualifies as before, and so does a
+    single whole-scene mosaic (B=1 at 720^2 = 20 patches of work)."""
     if x.ndim != 4:
         return False
     b, h, w, c = x.shape
@@ -152,7 +154,10 @@ def _supported(x) -> bool:
         return basic
     g_tile = 16 if x.dtype == jnp.bfloat16 else 8
     tile_ok = h % 8 == 0 and (c // 4) % g_tile == 0
-    return basic and b >= 4 and tile_ok and jax.default_backend() == "tpu"
+    return (
+        basic and b * h * w >= 4 * 160 * 160 and tile_ok
+        and jax.default_backend() == "tpu"
+    )
 
 
 def _pick_wt(S: int, max_wt: int = 40) -> int:
@@ -180,7 +185,11 @@ def ln_msl(x, gamma, beta, whm, wrest, wk, slope=0.1):
         return ln_msl_ref(x, gamma, beta, whm, wrest, wk, slope)
     b, S, _, C = x.shape
     c4 = whm.shape[0]
-    wt = _pick_wt(S)
+    # Band height: ~40 rows at the 160-wide patch geometry; cap the
+    # rows x width product so whole-scene widths (S=720+) keep the
+    # in-VMEM working set at the patch-geometry level instead of blowing
+    # the scoped limit (measured 42.9 MB at wt=40, S=720).
+    wt = _pick_wt(S, max_wt=max(4, (40 * 160) // S))
     nt = S // wt
 
     # full-C weight forms (zero lanes/rows are exact no-ops; see kernel)
@@ -217,6 +226,9 @@ def ln_msl(x, gamma, beta, whm, wrest, wk, slope=0.1):
             jax.ShapeDtypeStruct(x.shape, x.dtype),
             jax.ShapeDtypeStruct(x.shape, x.dtype),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=FORCE_KERNEL_INTERPRET,
     )(x, x, x, gamma[None], beta[None], whm_f, wrest_f, wk9)
 

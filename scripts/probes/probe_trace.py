@@ -18,7 +18,9 @@ from lfsr_tpu.models import registry
 LOGDIR = "/tmp/lfsr_trace_r3"
 
 import os
-B, H, W = int(os.environ.get("PROBE_MB", "8")), 160, 160
+B = int(os.environ.get("PROBE_MB", "8"))
+H = int(os.environ.get("PROBE_H", "160"))
+W = int(os.environ.get("PROBE_W", "160"))
 MODEL = os.environ.get("PROBE_MODEL", "LFMambaX")
 cfg = Config(model_name=MODEL, scale_factor=4)
 model = registry.get_model(cfg)
