@@ -99,7 +99,7 @@ def bench_model(model_name: str, minibatch: int | None, iters: int) -> dict:
         kw = dict(
             ang=ang, scale=scale, patch=h0, stride=h0,
             minibatch=cfg.minibatch_for_test, h0=h0, w0=h0,
-            whole_pad=cfg.whole_scene_pad,
+            whole_pad=cfg.whole_scene_pad, whole=True,
         )
         n_patches = 1
         flops_per_scene = flops_unit

@@ -46,7 +46,7 @@ def _integrate(sr, ang_out, patch, scale, stride, h0, w0, integrate, sigma):
     jax.jit,
     static_argnames=(
         "apply_fn", "ang", "scale", "patch", "stride", "minibatch", "h0", "w0",
-        "ang_out", "integrate", "integrate_sigma", "whole_pad",
+        "ang_out", "integrate", "integrate_sigma", "whole_pad", "whole",
     ),
 )
 def sr_scene(
@@ -65,18 +65,24 @@ def sr_scene(
     integrate: str = "crop",
     integrate_sigma: float | None = None,
     whole_pad: int = 0,
+    whole: bool = False,
 ) -> jnp.ndarray:
     """Super-resolve one whole scene. Returns SR views
     [A_out, A_out, h0*s, w0*s]. For the RE (angular reconstruction) task
     pass scale=1 and ang_out > ang — the model maps [A*p, A*p] SAI
     patches to [A_out*p, A_out*p].
 
-    ``patch >= max(h0, w0)`` selects whole-scene mode: the SAI mosaic is
-    itself the single "patch" — no divide/integrate, no overlap
-    redundancy (the reference's 32/16 grid computes every pixel 4x; it
-    tiles only to fit GPU memory, train.py:307-313)."""
+    ``whole=True`` selects whole-scene mode: the SAI mosaic is itself the
+    single "patch" — no divide/integrate, no overlap redundancy (the
+    reference's 32/16 grid computes every pixel 4x; it tiles only to fit
+    GPU memory, train.py:307-313). This is EXPLICIT, not inferred from
+    ``patch >= h0``: tiled eval where the configured patch covers a tiny
+    scene must keep the reference's mirror-extended divide/integrate
+    semantics (a geometric trigger silently flipped such scenes to raw
+    un-tiled calls and cost -0.23 dB on 8x8-view scenes — caught by
+    tests/test_train_efficacy.py in round 3)."""
     ang_out = ang_out or ang
-    if patch >= h0 and patch >= w0:
+    if whole:
         from lfsr_tpu.ops.layout import sai_to_views, views_to_sai
 
         if whole_pad:
@@ -130,6 +136,7 @@ def sr_scene_sharded(
     integrate: str = "crop",
     integrate_sigma: float | None = None,
     whole_pad: int = 0,  # accepted for kw-compat with sr_scene; unused (tiled)
+    whole: bool = False,  # likewise; this entry point is always tiled
 ) -> jnp.ndarray:
     """Multi-chip tiled SR: the patch grid is data-parallel over ``mesh``.
 
@@ -267,6 +274,7 @@ def evaluate_scene(apply_fn, params, scene, cfg: Config, mesh=None):
         integrate="gaussian" if (cfg.epsw_for_test and not whole) else "crop",
         integrate_sigma=cfg.epsw_sigma,
         whole_pad=cfg.whole_scene_pad if whole else 0,
+        whole=whole,
     )
     if whole:
         # one un-tiled call — nothing to shard across a data mesh

@@ -47,7 +47,7 @@ for pad in (0, 4, 8, 12, 16):
             model.apply, state.variables, jnp.asarray(sc.lr_y),
             ang=5, scale=4, patch=max(h0, w0), stride=max(h0, w0),
             minibatch=cfg.minibatch_for_test, h0=h0, w0=w0,
-            whole_pad=pad,
+            whole_pad=pad, whole=True,
         )
         p, s = _score_views(sc, views, 5, 5, 4, False)
         ts.append(time.perf_counter() - t0)

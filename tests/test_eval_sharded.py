@@ -59,7 +59,7 @@ def test_whole_scene_batch_sharded_matches_per_scene():
         single = np.asarray(
             sr_scene(
                 model.apply, params, sais[i], ang=ANG, scale=SCALE,
-                patch=h0, stride=h0, minibatch=1, h0=h0, w0=h0,
+                patch=h0, stride=h0, minibatch=1, h0=h0, w0=h0, whole=True,
             )
         )
         np.testing.assert_allclose(batched[i], single, rtol=1e-6, atol=1e-6)

@@ -40,7 +40,7 @@ def test_whole_scene_equals_direct_apply():
     )
     out = sr_scene(
         _pointwise_apply, None, lr, ang=ANG, scale=SCALE, patch=h0,
-        stride=h0, minibatch=1, h0=h0, w0=h0,
+        stride=h0, minibatch=1, h0=h0, w0=h0, whole=True,
     )
     direct = sai_to_views(_pointwise_apply(None, lr[None, ..., None])[0, ..., 0], ANG)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(direct))
@@ -54,7 +54,7 @@ def test_whole_scene_matches_tiled_for_local_model():
     )
     whole = sr_scene(
         _pointwise_apply, None, lr, ang=ANG, scale=SCALE, patch=h0,
-        stride=h0, minibatch=1, h0=h0, w0=h0,
+        stride=h0, minibatch=1, h0=h0, w0=h0, whole=True,
     )
     tiled = sr_scene(
         _pointwise_apply, None, lr, ang=ANG, scale=SCALE, patch=8,
@@ -93,7 +93,7 @@ def test_whole_scene_pad_identity_for_local_model():
             np.random.default_rng(1).random((ANG * h0, ANG * w0)), jnp.float32
         )
         kw = dict(ang=ANG, scale=SCALE, patch=max(h0, w0), stride=max(h0, w0),
-                  minibatch=1, h0=h0, w0=w0)
+                  minibatch=1, h0=h0, w0=w0, whole=True)
         base = sr_scene(_pointwise_apply, None, lr, **kw)
         padded = sr_scene(_pointwise_apply, None, lr, whole_pad=8, **kw)
         np.testing.assert_array_equal(np.asarray(padded), np.asarray(base))
