@@ -7,6 +7,7 @@ center-crop evaluation against (a) whole-scene un-tiled evaluation
 perf lever (2.5x fewer FLOPs per scene) — this is the PSNR evidence
 required before any default flips.
 """
+import sys
 import time
 from pathlib import Path
 
@@ -21,7 +22,8 @@ from lfsr_tpu.train.trainer import Trainer, latest_checkpoint, restore_checkpoin
 
 ROOT = Path("/tmp/lfsr_train_demo")
 base = Config(
-    model_name="LFMambaX", scale_factor=4,
+    model_name=sys.argv[1] if len(sys.argv) > 1 else "LFMambaX",
+    scale_factor=4,
     path_for_train=str(ROOT / "data_for_train"),
     path_for_test=str(ROOT / "data_for_test"),
     path_log=str(ROOT / "log"),

@@ -137,6 +137,7 @@ def bicubic_psnr(vals):
 
 def main():
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    model_name = sys.argv[2] if len(sys.argv) > 2 else "LFMambaX"
     vals = write_data()
     bp, bs = bicubic_psnr(vals)
     print(f"bicubic baseline: PSNR {bp:.3f}  SSIM {bs:.4f}", flush=True)
@@ -144,7 +145,7 @@ def main():
     import train as train_cli
 
     cfg = Config(
-        model_name="LFMambaX",
+        model_name=model_name,
         scale_factor=SCALE,
         path_for_train=str(ROOT / "data_for_train"),
         path_for_test=str(ROOT / "data_for_test"),
