@@ -101,6 +101,12 @@ class _Group(nn.Module):
         return x + spatial_conv(self.feats, self.ang, self.dtype)(y)
 
 
+# whole_scene_ok stays False on MEASUREMENT: the quality gate passes
+# (whole-scene+pad8 27.3998 vs tiled 27.4000 on a trained demo ckpt) but
+# throughput REGRESSES — 2.18 whole vs 3.04 tiled scenes/s at the bench
+# geometry: the batched mb=2 SAI-160 patches feed the MXU better than
+# one huge-spatial conv dispatch despite 2.3x fewer FLOPs (PERF.md
+# round-3 DistgSSR gate). Tiled stays the production default here.
 @register_model("DistgSSR")
 class DistgSSR(nn.Module):
     cfg: Config
