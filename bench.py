@@ -96,13 +96,36 @@ def bench_model(model_name: str, minibatch: int | None, iters: int) -> dict:
     flops_unit = float(ca.get("flops", float("nan"))) / flops_div
 
     if whole:
-        kw = dict(
-            ang=ang, scale=scale, patch=h0, stride=h0,
-            minibatch=cfg.minibatch_for_test, h0=h0, w0=h0,
-            whole_pad=cfg.whole_scene_pad, whole=True,
+        # production path: minibatch_for_test scenes per dispatch
+        # (evaluate_sets whole-mode batching; B=2 measured 13.7% faster
+        # per scene than one-at-a-time, PERF.md round 3)
+        from lfsr_tpu.train.evaluate import _whole_batch_runner
+
+        mb = max(1, cfg.minibatch_for_test)
+        runner = _whole_batch_runner(
+            model.apply, ang, ang, scale, cfg.whole_scene_pad
         )
-        n_patches = 1
-        flops_per_scene = flops_unit
+        batches = [
+            jnp.asarray(rng.random((mb, ang * h0, ang * h0)), jnp.float32)
+            for _ in range(iters)
+        ]
+        scene_scalar = jax.jit(lambda p, b: jnp.sum(runner(p, b)))
+        np.asarray(scene_scalar(params, batches[0]))  # compile + fetch
+        t0 = time.perf_counter()
+        outs = [scene_scalar(params, batches[i]) for i in range(iters)]
+        np.asarray(outs[-1])
+        scenes_per_sec = mb * iters / (time.perf_counter() - t0)
+        return {
+            "model": model_name,
+            "scenes_per_sec": round(scenes_per_sec, 4),
+            "mfu": round(
+                scenes_per_sec * flops_unit / V5E_BF16_PEAK_FLOPS, 4
+            ),
+            "params": n_params,
+            "minibatch_for_test": cfg.minibatch_for_test,
+            "eval_mode": "whole_scene",
+            "flops_per_scene_g": round(flops_unit / 1e9, 2),
+        }
     else:
         kw = dict(
             ang=ang, scale=scale, patch=cfg.patch_size_for_test,
@@ -125,20 +148,16 @@ def bench_model(model_name: str, minibatch: int | None, iters: int) -> dict:
     scene_s = (time.perf_counter() - t0) / iters
     scenes_per_sec = 1.0 / scene_s
     mfu = scenes_per_sec * flops_per_scene / V5E_BF16_PEAK_FLOPS
-    out = {
+    return {
         "model": model_name,
         "scenes_per_sec": round(scenes_per_sec, 4),
         "mfu": round(mfu, 4),
         "params": n_params,
         "minibatch_for_test": cfg.minibatch_for_test,
-        "eval_mode": "whole_scene" if whole else "tiled",
+        "eval_mode": "tiled",
+        "patches_per_sec": round(n_patches * scenes_per_sec, 2),
+        "flops_per_patch_g": round(flops_unit / 1e9, 2),
     }
-    if whole:
-        out["flops_per_scene_g"] = round(flops_per_scene / 1e9, 2)
-    else:
-        out["patches_per_sec"] = round(n_patches * scenes_per_sec, 2)
-        out["flops_per_patch_g"] = round(flops_unit / 1e9, 2)
-    return out
 
 
 def main():

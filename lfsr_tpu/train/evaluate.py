@@ -223,6 +223,56 @@ def _whole_sharded_runner(apply_fn, mesh, ang, ang_out, scale, whole_pad):
     return jax.jit(run, in_shardings=(repl, shard_n), out_shardings=repl)
 
 
+@functools.lru_cache(maxsize=64)
+def _whole_batch_runner(apply_fn, ang, ang_out, scale, whole_pad):
+    """Single-device twin of :func:`_whole_sharded_runner`: one jitted
+    scene-batch dispatch per geometry. Batching scenes amortizes the
+    per-dispatch latency the B=1 whole-scene call pays — measured 388 ->
+    335 ms/scene at [*,720,720] on v5e (PERF.md round 3)."""
+
+    def run(params_, sais_):  # [N, A*h0, A*w0]
+        x = sais_
+        n_, H_, W_ = x.shape
+        h0_, w0_ = H_ // ang, W_ // ang
+        if whole_pad:
+            p = whole_pad
+            pb = p + (-(h0_ + 2 * p) % 8)
+            pr = p + (-(w0_ + 2 * p) % 8)
+            v = x.reshape(n_, ang, h0_, ang, w0_)
+            v = jnp.pad(
+                v, ((0, 0), (0, 0), (p, pb), (0, 0), (p, pr)), mode="symmetric"
+            )
+            x = v.reshape(n_, ang * (h0_ + p + pb), ang * (w0_ + p + pr))
+        sr = apply_fn(params_, x[..., None])[..., 0]
+        n, H, W = sr.shape
+        v = sr.reshape(n, ang_out, H // ang_out, ang_out, W // ang_out)
+        v = jnp.moveaxis(v, 2, 3)  # [N, A, A, h, w]
+        if whole_pad:
+            ps = whole_pad * scale
+            v = v[..., ps : ps + h0_ * scale, ps : ps + w0_ * scale]
+        return v
+
+    return jax.jit(run)
+
+
+def sr_scenes_whole(
+    apply_fn, params, lr_sais, *, ang: int, ang_out: int,
+    scale: int = 1, whole_pad: int = 0, minibatch: int = 2,
+):
+    """Whole-scene SR for a batch of same-geometry scenes on ONE device,
+    ``minibatch`` scenes per dispatch (chunks queue asynchronously).
+    ``lr_sais``: [N, A*h0, A*w0] -> [N, A_out, A_out, h0*s, w0*s]."""
+    n = lr_sais.shape[0]
+    mb = max(1, min(minibatch, n))
+    n_pad = -(-n // mb) * mb
+    sais = jnp.pad(jnp.asarray(lr_sais), ((0, n_pad - n), (0, 0), (0, 0)))
+    fn = _whole_batch_runner(apply_fn, ang, ang_out, scale, whole_pad)
+    outs = [
+        fn(params, sais[i : i + mb]) for i in range(0, n_pad, mb)
+    ]
+    return jnp.concatenate(outs, axis=0)[:n]
+
+
 def sr_scenes_whole_sharded(
     apply_fn, params, lr_sais, mesh, *, ang: int, ang_out: int,
     scale: int = 1, whole_pad: int = 0,
@@ -312,28 +362,35 @@ def evaluate_sets(apply_fn, params, scenes_by_set: dict, cfg: Config, log=print,
     data-parallel across it."""
     from lfsr_tpu.models.registry import whole_scene_default
 
-    whole_batched = (
-        whole_scene_default(cfg)
-        and mesh is not None
-        and int(np.prod(mesh.devices.shape)) > 1
-    )
+    whole_batched = whole_scene_default(cfg)
+    multi = mesh is not None and int(np.prod(mesh.devices.shape)) > 1
     s_factor = 1 if cfg.task == "RE" else cfg.scale_factor
     results = {}
     for name, scenes in scenes_by_set.items():
         per_scene = []
         if whole_batched:
-            # group same-geometry scenes and shard each batch over the mesh
+            # group same-geometry scenes: data-parallel over a multi-
+            # device mesh, else minibatch_for_test scenes per dispatch on
+            # one device (B=2 measured 13.7% faster per scene, PERF.md)
             by_geo: dict = {}
             for sc in scenes:
                 by_geo.setdefault(sc.lr_y.shape, []).append(sc)
             scored = {}
             for group in by_geo.values():
                 batch = jnp.stack([jnp.asarray(sc.lr_y) for sc in group])
-                views = sr_scenes_whole_sharded(
-                    apply_fn, params, batch, mesh,
-                    ang=cfg.angRes, ang_out=cfg.angRes_out,
-                    scale=s_factor, whole_pad=cfg.whole_scene_pad,
-                )
+                if multi:
+                    views = sr_scenes_whole_sharded(
+                        apply_fn, params, batch, mesh,
+                        ang=cfg.angRes, ang_out=cfg.angRes_out,
+                        scale=s_factor, whole_pad=cfg.whole_scene_pad,
+                    )
+                else:
+                    views = sr_scenes_whole(
+                        apply_fn, params, batch,
+                        ang=cfg.angRes, ang_out=cfg.angRes_out,
+                        scale=s_factor, whole_pad=cfg.whole_scene_pad,
+                        minibatch=cfg.minibatch_for_test,
+                    )
                 for sc, v in zip(group, views):
                     scored[sc.name] = _score_views(
                         sc, v, cfg.angRes, cfg.angRes_out, s_factor,

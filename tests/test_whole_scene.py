@@ -97,3 +97,29 @@ def test_whole_scene_pad_identity_for_local_model():
         base = sr_scene(_pointwise_apply, None, lr, **kw)
         padded = sr_scene(_pointwise_apply, None, lr, whole_pad=8, **kw)
         np.testing.assert_array_equal(np.asarray(padded), np.asarray(base))
+
+
+def test_whole_scene_batch_single_device_matches_per_scene():
+    """sr_scenes_whole (minibatched scene dispatches on one device) must
+    equal the per-scene whole path exactly, incl. ragged tail chunks."""
+    from lfsr_tpu.train.evaluate import sr_scenes_whole
+
+    h0 = 16
+    sais = jnp.asarray(
+        np.random.default_rng(3).random((5, ANG * h0, ANG * h0)), jnp.float32
+    )
+    batched = np.asarray(
+        sr_scenes_whole(
+            _pointwise_apply, None, sais, ang=ANG, ang_out=ANG,
+            scale=SCALE, whole_pad=8, minibatch=2,
+        )
+    )
+    for i in range(5):
+        single = np.asarray(
+            sr_scene(
+                _pointwise_apply, None, sais[i], ang=ANG, scale=SCALE,
+                patch=h0, stride=h0, minibatch=1, h0=h0, w0=h0,
+                whole=True, whole_pad=8,
+            )
+        )
+        np.testing.assert_array_equal(batched[i], single)
