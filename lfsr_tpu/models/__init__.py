@@ -31,6 +31,7 @@ from lfsr_tpu.models import efficient_lfnet_v3  # noqa: F401
 from lfsr_tpu.models import efficient_lfnet_v7  # noqa: F401
 from lfsr_tpu.models import efficient_lfnet_v4_5  # noqa: F401
 from lfsr_tpu.models import efficient_lfnet_v6  # noqa: F401
+from lfsr_tpu.models import efficient_lfnet_v63  # noqa: F401
 from lfsr_tpu.models import efficient_lfnet_variants  # noqa: F401
 
 from lfsr_tpu.models.registry import get_model, get_loss, available  # noqa: F401

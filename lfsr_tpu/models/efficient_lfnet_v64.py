@@ -218,7 +218,12 @@ class EfficientLFNetV64(nn.Module):
         fused = nn.LayerNorm(dtype=dt)(fused)
         feat = fused + ff + shallow
 
-        # reconstruction (V6_4:145-155, 224-231)
+        # reconstruction (V6_4:145-155, 224-231). V6.5 deepens this to
+        # THREE dw+pw layers (MyEfficientLFNetV6_5.py:142-156) — the
+        # refine_layers knob; intermediate layers carry their own lrelu,
+        # the final one shares the refine_act below like the reference.
+        for _ in range(self.cfg.mk("refine_layers", 1) - 1):
+            feat = lrelu(conv(c, 1, use_bias=False, dtype=dt)(_dw(c, dtype=dt)(feat)))
         feat = lrelu(conv(c, 1, use_bias=False, dtype=dt)(_dw(c, dtype=dt)(feat)))
         feat = ECA(reduction=16, dtype=dt)(feat)
         for _ in range(s // 2):

@@ -4,25 +4,20 @@ The reference's V4.x / V6.x / V7 files are iterations on two shared
 designs — the LF-VSSM dual-branch block line and its fusion/attention
 heads — differing mainly in width, depth, state size, scan arity and which
 attention heads are enabled (compare_v6_versions.py documents the V6 line;
-docstrings of each reference file state the deltas). Rather than duplicate
-near-identical architectures, each version registers here as a documented
-configuration of the closest implemented architecture:
+docstrings of each reference file state the deltas).
 
-- V6   (MyEfficientLFNetV6.py: 56ch x 8 LF-VSSM, d_state 24)
-- V6.1 (V6_1.py: audit — d_state 24->16, expand 1.5->1.25, 2-way scan)
-- V6.3 (V6_3.py: the FLOPs-rescued V6.2 — depthwise-separable upsampler,
-  CASAI/degradation/semantic/spectral heads == V6.4's stage list)
-- V6.5 (V6_5.py: 72ch x 10 blocks, d_state 24)
-  -> maps onto the V64 architecture with the stated knobs.
+Status of the line:
 
-V6.6 and V7 are full architectures in efficient_lfnet_v7.py (grouped
-4-way cross-scan, DCT spectral attention, staged fusion, edge-aware
-reconstruction) — no longer aliases. V4.5 is a full architecture in
-efficient_lfnet_v4_5.py.
-
-Differences that are NOT reproduced are noted per entry; exact param
-parity is not claimed for these aliases (the reference publishes only
-approximate counts for them).
+- V6.0 / V6.1 — TRUE architectures (efficient_lfnet_v6.py) with exact
+  FastConvSSM-fallback param parity (557,628 / 557,516).
+- V6.3 — TRUE architecture (efficient_lfnet_v63.py), exact 408,494 params
+  vs the reference under the mamba shim.
+- V6.5 (MyEfficientLFNetV6_5.py:80-84, 142-156) — V6.4's exact module set
+  at channels 72 x 10 blocks, d_state 24, with a 3-layer deep
+  reconstruction; registered here as the V64 architecture with those
+  knobs. Exact param parity: 756,093.
+- V6.6 and V7 are full architectures in efficient_lfnet_v7.py; V4.5 in
+  efficient_lfnet_v4_5.py.
 """
 
 from __future__ import annotations
@@ -43,18 +38,10 @@ def _variant(name: str, base_cls, defaults: dict, loss_builder):
     _REGISTRY[name] = ModelSpec(name=name, build=build, build_loss=loss_builder)
 
 
-# V6.0 / V6.1 are TRUE architectures now (efficient_lfnet_v6.py, with
-# FastConvSSM-fallback param parity vs the reference files); only the
-# V6.3 / V6.5 mamba_ssm-gated line remains configured on V64 below.
-_variant(
-    "EfficientLFNetV6_3",
-    EfficientLFNetV64,
-    {"channels": 64, "n_blocks": 8, "d_state": 16, "expand": 1.25},
-    losses.composite_v64_builder,
-)
 _variant(
     "EfficientLFNetV6_5",
     EfficientLFNetV64,
-    {"channels": 72, "n_blocks": 10, "d_state": 24, "expand": 1.25},
+    {"channels": 72, "n_blocks": 10, "d_state": 24, "expand": 1.25,
+     "refine_layers": 3},
     losses.composite_v64_builder,
 )

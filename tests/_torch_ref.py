@@ -62,6 +62,85 @@ def load_ref_model(name: str, args=None):
     return model
 
 
+def install_mamba_shim():
+    """Register a functional ``mamba_ssm`` stand-in so the mamba-gated
+    reference line (MyEfficientLFNetV6_2..V6_6/V7/V8) can run forward on
+    CPU for weight-transfer parity tests.
+
+    The shim is parameter-exact (in_proj/conv1d/x_proj/dt_proj/A_log/D/
+    out_proj, dt_rank=ceil(d_model/16)) and implements the CUDA kernel's
+    documented math (mamba_ssm selective_scan_ref): causal depthwise
+    conv1d + SiLU, softplus(dt_proj(dt)), ZOH scan
+    h_t = exp(delta A) h_{t-1} + delta B_t x_t, y_t = C_t . h_t + D x_t,
+    gated by SiLU(z). Matches lfsr_tpu.ops.selective_scan semantics.
+    """
+    import math
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    if "mamba_ssm" in sys.modules:
+        return
+
+    class Mamba(nn.Module):
+        def __init__(self, d_model, d_state=16, d_conv=4, expand=2, **kw):
+            super().__init__()
+            self.d_state = d_state
+            self.d_inner = int(expand * d_model)
+            self.dt_rank = math.ceil(d_model / 16)
+            di = self.d_inner
+            self.in_proj = nn.Linear(d_model, di * 2, bias=False)
+            self.conv1d = nn.Conv1d(di, di, d_conv, groups=di, bias=True,
+                                    padding=d_conv - 1)
+            self.x_proj = nn.Linear(di, self.dt_rank + d_state * 2, bias=False)
+            self.dt_proj = nn.Linear(self.dt_rank, di, bias=True)
+            self.A_log = nn.Parameter(torch.log(
+                torch.arange(1, d_state + 1, dtype=torch.float32)
+                .repeat(di, 1)
+            ))
+            self.D = nn.Parameter(torch.ones(di))
+            self.out_proj = nn.Linear(di, d_model, bias=False)
+
+        def forward(self, x):
+            b, L, _ = x.shape
+            xs, z = self.in_proj(x).chunk(2, dim=-1)
+            xc = self.conv1d(xs.transpose(1, 2))[..., :L].transpose(1, 2)
+            xc = F.silu(xc)
+            dbc = self.x_proj(xc)
+            dt, Bm, Cm = torch.split(
+                dbc, [self.dt_rank, self.d_state, self.d_state], dim=-1)
+            delta = F.softplus(self.dt_proj(dt))  # [b, L, Di]
+            A = -torch.exp(self.A_log)  # [Di, N]
+            dA = torch.exp(delta.unsqueeze(-1) * A)  # [b, L, Di, N]
+            dBx = delta.unsqueeze(-1) * Bm.unsqueeze(2) * xc.unsqueeze(-1)
+            h = x.new_zeros(b, self.d_inner, self.d_state)
+            ys = []
+            for t in range(L):
+                h = dA[:, t] * h + dBx[:, t]
+                ys.append(torch.einsum("bdn,bn->bd", h, Cm[:, t]))
+            y = torch.stack(ys, dim=1) + self.D * xc
+            return self.out_proj(y * F.silu(z))
+
+    shim = types.ModuleType("mamba_ssm")
+    shim.Mamba = Mamba
+    sys.modules["mamba_ssm"] = shim
+
+
+def map_mamba(sd, pre) -> dict:
+    """torch mamba_ssm.Mamba state-dict subtree -> lfsr_tpu.models.ssm.Mamba."""
+    return {
+        "in_proj_kernel": t_linear(sd[pre + "in_proj.weight"]),
+        "conv1d_kernel": a(sd[pre + "conv1d.weight"]).transpose(2, 1, 0),
+        "conv1d_bias": a(sd[pre + "conv1d.bias"]),
+        "x_proj_kernel": t_linear(sd[pre + "x_proj.weight"]),
+        "dt_proj_kernel": t_linear(sd[pre + "dt_proj.weight"]),
+        "dt_proj_bias": a(sd[pre + "dt_proj.bias"]),
+        "A_log": a(sd[pre + "A_log"]),
+        "D": a(sd[pre + "D"]),
+        "out_proj_kernel": t_linear(sd[pre + "out_proj.weight"]),
+    }
+
+
 def t_conv(w) -> np.ndarray:
     """torch Conv2d weight [O, I, kh, kw] -> flax [kh, kw, I, O]."""
     return np.asarray(w.detach()).transpose(2, 3, 1, 0)

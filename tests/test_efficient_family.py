@@ -76,24 +76,17 @@ def test_v6_conv_fallback_param_parity():
         assert _params(cfg) == expect, (name, _params(cfg))
 
 
-def test_v6_3_v6_5_alias_counts_documented():
-    """V6.3/V6.5 remain configurations of the V64 architecture (the
-    V6_2 'Optimized' line hard-requires mamba_ssm). Reference counts,
-    measured by instantiating MyEfficientLFNetV6_3/V6_5 under a
-    parameter-exact mamba_ssm shim (in_proj/conv1d/x_proj/dt_proj/
-    A_log/D/out_proj, dt_rank=ceil(d_model/16)):
-
-      V6_3: 408,494   (ours 483,335 — V64 keeps the full conv upsampler
-                       where V6_3 swaps in its depthwise-separable one)
-      V6_5: 756,093   (ours 744,429)
-
-    Both aliases stay under the 1M Track-2 gate; this test pins OUR
-    counts so config drift is caught, and records the reference deltas
-    (COVERAGE.md 'V6 aliases')."""
-    for name, ours in [
-        ("EfficientLFNetV6_3", 483_335), ("EfficientLFNetV6_5", 744_429),
+def test_v6_3_v6_5_exact_reference_param_parity():
+    """V6.3 is now a TRUE architecture (efficient_lfnet_v63.py) and V6.5
+    the exact V64 geometry (channels 72 x 10 blocks, d_state 24,
+    refine_layers 3). Reference counts measured by instantiating
+    MyEfficientLFNetV6_3/V6_5 under the parameter-exact mamba_ssm shim
+    (tests/_torch_ref.install_mamba_shim): EXACT parity on both —
+    408,494 / 756,093. Both stay under the 1M Track-2 gate."""
+    for name, expect in [
+        ("EfficientLFNetV6_3", 408_494), ("EfficientLFNetV6_5", 756_093),
     ]:
         cfg = Config(model_name=name, scale_factor=4, compute_dtype="float32")
         n = _params(cfg)
-        assert n == ours, (name, n)
+        assert n == expect, (name, n)
         assert n < 1_000_000

@@ -1298,3 +1298,227 @@ def test_v6_1_fastconvssm_forward_parity():
         lambda sd: _map_v6(sd, pre_norm=True), _rand_sai(seed=7),
         model_kwargs={"ssm_impl": "conv"}, atol=1e-4,
     )
+
+
+def _map_v63(sd):
+    """MyEfficientLFNetV6_3 state dict -> EfficientLFNetV63 params
+    (reference instantiated under the functional mamba shim)."""
+    from tests._torch_ref import map_mamba
+
+    def k(name):
+        return {"kernel": t_conv(sd[name + ".weight"])}
+
+    def kb(name):
+        return {"kernel": t_conv(sd[name + ".weight"]), "bias": a(sd[name + ".bias"])}
+
+    def ln(name):
+        return {"scale": a(sd[name + ".weight"]), "bias": a(sd[name + ".bias"])}
+
+    def eca(pre):
+        return {"Conv_0": kb(pre + "fc1"), "Conv_1": kb(pre + "fc2")}
+
+    out = {}
+    for i in range(8):
+        p = f"lf_vssm_blocks.{i}."
+        out[f"block_{i}"] = {
+            "LayerNorm_0": ln(p + "pre_norm"),
+            "MultiScaleConv5Block_0": {
+                "Conv_0": k(p + "local_branch.conv1"),
+                "Conv_1": k(p + "local_branch.conv3"),
+                # the two dw5 branches run as one depthwise conv over 2c
+                "Conv_2": {"kernel": np.concatenate(
+                    [t_conv(sd[p + "local_branch.conv5_1.weight"]),
+                     t_conv(sd[p + "local_branch.conv5_2.weight"])], axis=-1)},
+                "Conv_3": k(p + "local_branch.pw"),
+            },
+            "BidirectionalSS2D_0": {
+                "LayerNorm_0": ln(p + "global_branch.norm"),
+                "mamba": map_mamba(sd, p + "global_branch.mamba."),
+                "Conv_0": k(p + "global_branch.dir_fuse"),
+                "scale": a(sd[p + "global_branch.scale"]),
+            },
+            "Conv_0": k(p + "fuse"),
+            "ECA_0": eca(p + "attention."),
+            "res_scale": a(sd[p + "res_scale"]),
+        }
+    for branch in ("epi_shallow", "epi_deep"):
+        out[branch] = {
+            "Conv_0": k(f"{branch}.epi_h_conv.2"),
+            "Conv_1": k(f"{branch}.epi_h_conv.0"),
+            "Conv_2": k(f"{branch}.epi_v_conv.2"),
+            "Conv_3": k(f"{branch}.epi_v_conv.0"),
+            "Conv_4": k(f"{branch}.fuse"),
+            "Conv_5": k(f"{branch}.depth_mod.0"),
+            "Conv_6": k(f"{branch}.depth_mod.2"),
+            "scale": a(sd[f"{branch}.scale"]),
+        }
+    out.update({
+        "Conv_0": kb("shallow_conv"),
+        "Conv_1": k("shallow_enhance.pw"),
+        "Conv_2": k("shallow_enhance.dw"),
+        "Conv_3": kb("casai_fusion.content_gate.1"),
+        "Conv_4": k("casai_fusion.cross_proj"),
+        "Conv_5": k("casai_fusion.local_refine"),
+        "casai_scale": a(sd["casai_fusion.scale"]),
+        "Conv_6": kb("degradation_mod.deg_estimator.1"),
+        "Conv_7": kb("degradation_mod.deg_estimator.3"),
+        "deg_scale": a(sd["degradation_mod.scale"]),
+        "Conv_8": kb("semantic_attn.semantic_proj.0"),
+        "Conv_9": kb("semantic_attn.semantic_proj.2"),
+        "Conv_10": k("semantic_attn.local_refine"),
+        "sem_scale": a(sd["semantic_attn.scale"]),
+        "SpectralAttentionV64_0": {
+            "freq_kernel": a(sd["spectral_attn.freq_conv.weight"]).transpose(2, 1, 0),
+            "freq_bias": a(sd["spectral_attn.freq_conv.bias"]),
+            "Conv_0": k("spectral_attn.spatial_mix"),
+            "scale": a(sd["spectral_attn.scale"]),
+        },
+        "Conv_11": k("fuse_early"),
+        "Conv_12": k("fuse_late"),
+        "Conv_13": k("fuse_final"),
+        "LayerNorm_0": ln("fuse_norm"),
+        "Conv_14": k("refine_conv.1"),
+        "Conv_15": k("refine_conv.0"),
+        "ECA_0": eca("pre_upsample_attn."),
+        "Conv_16": k("upsampler.up.0"),
+        "Conv_17": k("upsampler.up.2"),
+        "Conv_18": k("upsampler.up.5"),
+        "Conv_19": k("upsampler.up.7"),
+        "Conv_20": kb("output_conv"),
+        "out_scale": a(sd["output_scale"]),
+    })
+    return out
+
+
+@pytest.mark.slow
+def test_v6_3_forward_parity():
+    """True V6.3 vs the reference under the FUNCTIONAL mamba shim — the
+    first forward-parity claim on the mamba-gated line (V6.0/V6.1 were
+    FastConvSSM-fallback parity)."""
+    from tests._torch_ref import install_mamba_shim
+
+    install_mamba_shim()
+    tm = load_ref_model("MyEfficientLFNetV6_3", ref_args(scale_factor=4))
+    tm.masked_pretrain_enabled = False
+    _run_pair(
+        "EfficientLFNetV6_3", tm, _map_v63, _rand_sai(h0=4, seed=63), atol=2e-4,
+    )
+
+
+def _map_v64(sd, n_blocks=8, refine_layers=1):
+    """MyEfficientLFNetV6_4 / V6_5 state dict -> EfficientLFNetV64 params
+    (reference under the functional mamba shim; V6_5 is the same module
+    set at 72ch x 10 blocks with a 3-layer refine)."""
+    from tests._torch_ref import map_mamba
+
+    def k(name):
+        return {"kernel": t_conv(sd[name + ".weight"])}
+
+    def kb(name):
+        return {"kernel": t_conv(sd[name + ".weight"]), "bias": a(sd[name + ".bias"])}
+
+    def ln(name):
+        return {"scale": a(sd[name + ".weight"]), "bias": a(sd[name + ".bias"])}
+
+    def eca(pre):
+        return {"Conv_0": kb(pre + "fc1"), "Conv_1": kb(pre + "fc2")}
+
+    out = {}
+    for i in range(n_blocks):
+        p = f"lf_vssm_blocks.{i}."
+        out[f"block_{i}"] = {
+            "LayerNorm_0": ln(p + "pre_norm"),
+            "MultiScaleLocal_0": {
+                "Conv_0": k(p + "local_branch.conv1"),
+                # three dw3 branches run as one depthwise conv over 3c
+                "Conv_1": {"kernel": np.concatenate(
+                    [t_conv(sd[p + f"local_branch.conv3_{j}.weight"])
+                     for j in (1, 2, 3)], axis=-1)},
+                "Conv_2": k(p + "local_branch.pw"),
+            },
+            "BidirectionalSS2D_0": {
+                "LayerNorm_0": ln(p + "global_branch.norm"),
+                "mamba": map_mamba(sd, p + "global_branch.mamba."),
+                "Conv_0": k(p + "global_branch.dir_fuse"),
+                "scale": a(sd[p + "global_branch.scale"]),
+            },
+            "Conv_0": k(p + "fuse"),
+            "ECA_0": eca(p + "attention."),
+            "res_scale": a(sd[p + "res_scale"]),
+        }
+    out["EPIBranchV64_0"] = {
+        "Conv_0": k("epi_branch.epi_h.0"),
+        "Conv_1": k("epi_branch.epi_h.2"),
+        "Conv_2": k("epi_branch.epi_v.0"),
+        "Conv_3": k("epi_branch.epi_v.2"),
+        "Conv_4": k("epi_branch.fuse"),
+        "Conv_5": k("epi_branch.depth_mod.1"),
+        "Conv_6": k("epi_branch.depth_mod.3"),
+        "scale": a(sd["epi_branch.scale"]),
+    }
+    out.update({
+        "Conv_0": kb("shallow_conv"),
+        "Conv_1": k("shallow_enhance.pw"),
+        "Conv_2": k("shallow_enhance.dw"),
+        "Conv_3": kb("casai_fusion.content_gate.1"),
+        "Conv_4": k("casai_fusion.cross_proj"),
+        "Conv_5": k("casai_fusion.local_refine"),
+        "casai_scale": a(sd["casai_fusion.scale"]),
+        "Conv_6": kb("degradation_mod.deg_estimator.1"),
+        "Conv_7": kb("degradation_mod.deg_estimator.3"),
+        "deg_scale": a(sd["degradation_mod.scale"]),
+        "Conv_8": kb("semantic_attn.semantic_proj.0"),
+        "Conv_9": kb("semantic_attn.semantic_proj.2"),
+        "Conv_10": k("semantic_attn.local_refine"),
+        "sem_scale": a(sd["semantic_attn.scale"]),
+        "SpectralAttentionV64_0": {
+            "freq_kernel": a(sd["spectral_attn.freq_conv.weight"]).transpose(2, 1, 0),
+            "freq_bias": a(sd["spectral_attn.freq_conv.bias"]),
+            "Conv_0": k("spectral_attn.spatial_mix"),
+            "scale": a(sd["spectral_attn.scale"]),
+        },
+        "Conv_11": k("block_fusion"),
+        "LayerNorm_0": ln("fuse_norm"),
+        "ECA_0": eca("pre_upsample_attn."),
+        "out_scale": a(sd["output_scale"]),
+    })
+    # refine: flax names pw-before-dw per layer (construction order);
+    # torch Sequential indices skip the LeakyReLUs (dw at 0,3,6; pw at 1,4,7)
+    n = 11
+    for layer in range(refine_layers):
+        out[f"Conv_{n + 1}"] = k(f"refine_conv.{3 * layer + 1}")
+        out[f"Conv_{n + 2}"] = k(f"refine_conv.{3 * layer}")
+        n += 2
+    # upsampler stages: dw at up.0/up.5, pw at up.2/up.7
+    out[f"Conv_{n + 1}"] = k("upsampler.up.0")
+    out[f"Conv_{n + 2}"] = k("upsampler.up.2")
+    out[f"Conv_{n + 3}"] = k("upsampler.up.5")
+    out[f"Conv_{n + 4}"] = k("upsampler.up.7")
+    out[f"Conv_{n + 5}"] = kb("output_conv")
+    return out
+
+
+@pytest.mark.slow
+def test_v6_4_forward_parity():
+    from tests._torch_ref import install_mamba_shim
+
+    install_mamba_shim()
+    tm = load_ref_model("MyEfficientLFNetV6_4", ref_args(scale_factor=4))
+    tm.masked_pretrain_enabled = False
+    _run_pair(
+        "EfficientLFNetV64", tm, _map_v64, _rand_sai(h0=4, seed=64), atol=2e-4,
+    )
+
+
+@pytest.mark.slow
+def test_v6_5_forward_parity():
+    from tests._torch_ref import install_mamba_shim
+
+    install_mamba_shim()
+    tm = load_ref_model("MyEfficientLFNetV6_5", ref_args(scale_factor=4))
+    tm.masked_pretrain_enabled = False
+    _run_pair(
+        "EfficientLFNetV6_5", tm,
+        lambda sd: _map_v64(sd, n_blocks=10, refine_layers=3),
+        _rand_sai(h0=4, seed=65), atol=2e-4,
+    )
