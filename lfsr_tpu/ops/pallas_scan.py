@@ -277,8 +277,18 @@ _SCAN_BWD_IMPL = {"impl": "pallas"}
 
 
 def set_scan_bwd_impl(impl: str):
+    """Select the selective-scan backward implementation.
+
+    The choice is read at TRACE time (inside the custom_vjp forward), so
+    a grad function jitted BEFORE this call would silently keep its old
+    backward — the jit cache is not keyed on this global. To make A/B
+    comparisons trustworthy, switching impls clears the jit caches so
+    every subsequent grad call retraces under the new choice (ADVICE r3).
+    """
     assert impl in ("pallas", "ref"), impl
-    _SCAN_BWD_IMPL["impl"] = impl
+    if _SCAN_BWD_IMPL["impl"] != impl:
+        _SCAN_BWD_IMPL["impl"] = impl
+        jax.clear_caches()
 
 
 def _sp_fwd(u, dbc, Wdt, bdt, A, D_skip, chunk):

@@ -145,6 +145,13 @@ def lf_integrate_gaussian(
         ws_h[i * stride : i * stride + patch] += w1d
     for j in range(n2):
         ws_w[j * stride : j * stride + patch] += w1d
+    # ext is rounded up to nk*stride, so when patch is not a stride
+    # multiple the tail rows past (n1-1)*stride+patch have weight sum
+    # exactly 0 — replace with 1 (the numerator there is 0 too and the
+    # region is cropped below) so no 0/0 NaNs trip jax_debug_nans
+    # (ADVICE r3). Exact elsewhere: Gaussian weights are strictly > 0.
+    ws_h = np.where(ws_h == 0.0, 1.0, ws_h)
+    ws_w = np.where(ws_w == 0.0, 1.0, ws_w)
     out = acc / jnp.asarray(ws_h[:, None] * ws_w[None, :], x.dtype)
     return out[..., bdr : bdr + h, bdr : bdr + w]
 

@@ -33,13 +33,48 @@ def _integrate(sr, ang_out, patch, scale, stride, h0, w0, integrate, sigma):
     """Dispatch the stitch: hard center crop (reference LFintegrate) or
     EPSW Gaussian blending (MyEfficientLFNetV4_3.py:148-216)."""
     if integrate == "gaussian":
+        # sigma=None means "default" (patch/6, V4_3's sigma heuristic);
+        # an explicit value must be positive — 0.0 is a config error,
+        # not a request for the default (ADVICE r3).
+        if sigma is None:
+            sig = patch / 6.0
+        else:
+            sig = float(sigma)
+            if not sig > 0:
+                raise ValueError(f"epsw_sigma must be > 0, got {sigma!r}")
         return lf_integrate_gaussian(
             sr, ang_out, patch * scale, stride * scale, h0 * scale, w0 * scale,
-            sigma=float(sigma) if sigma else patch / 6.0,
+            sigma=sig,
         )
     return lf_integrate(
         sr, ang_out, patch * scale, stride * scale, h0 * scale, w0 * scale
     )
+
+
+def _whole_pad_batch(x, ang, whole_pad):
+    """Mirror-extend each view of batched SAI mosaics [N, A*h0, A*w0] by
+    ``whole_pad`` LR pixels so scene borders see the same symmetric
+    continuation tiled eval gives them via lf_divide. Bottom/right pads
+    round the padded view extent up to a multiple of 8 so the aligned
+    Pallas kernel paths stay engaged at arbitrary scene geometries.
+
+    The effective pad is clamped on tiny scenes (a symmetric pad larger
+    than the view extent raises inside jit — ADVICE r3): views smaller
+    than 8+pad LR px fall back to less/no padding rather than crashing.
+    Returns ``(padded, p_used)``; ``p_used == 0`` means x is returned
+    unchanged and no crop is needed after SR. This is the ONE home of the
+    pad/crop algebra shared by sr_scene's whole mode and both whole-batch
+    runners (previously triplicated)."""
+    n_, H_, W_ = x.shape
+    h0_, w0_ = H_ // ang, W_ // ang
+    p = min(whole_pad, max(h0_ - 8, 0), max(w0_ - 8, 0))
+    if p == 0:
+        return x, 0
+    pb = p + (-(h0_ + 2 * p) % 8)
+    pr = p + (-(w0_ + 2 * p) % 8)
+    v = x.reshape(n_, ang, h0_, ang, w0_)
+    v = jnp.pad(v, ((0, 0), (0, 0), (p, pb), (0, 0), (p, pr)), mode="symmetric")
+    return v.reshape(n_, ang * (h0_ + p + pb), ang * (w0_ + p + pr)), p
 
 
 @partial(
@@ -83,24 +118,16 @@ def sr_scene(
     tests/test_train_efficacy.py in round 3)."""
     ang_out = ang_out or ang
     if whole:
-        from lfsr_tpu.ops.layout import sai_to_views, views_to_sai
+        from lfsr_tpu.ops.layout import sai_to_views
 
+        p_used = 0
         if whole_pad:
-            # mirror-extend each view so scene borders see the same
-            # symmetric continuation tiled eval gives them via lf_divide;
-            # bottom/right pads round the padded extent up to a multiple
-            # of 8 so the aligned Pallas kernel paths stay engaged at
-            # arbitrary scene geometries (crop below uses top-left = p)
-            p = whole_pad
-            pb = p + (-(h0 + 2 * p) % 8)
-            pr = p + (-(w0 + 2 * p) % 8)
-            v = sai_to_views(lr_sai, ang)
-            v = jnp.pad(v, ((0, 0), (0, 0), (p, pb), (p, pr)), mode="symmetric")
-            lr_sai = views_to_sai(v, ang)
+            padded, p_used = _whole_pad_batch(lr_sai[None], ang, whole_pad)
+            lr_sai = padded[0]
         sr = apply_fn(params, lr_sai[None, ..., None])[0, ..., 0]
         out = sai_to_views(sr, ang_out)
-        if whole_pad:
-            ps = whole_pad * scale
+        if p_used:
+            ps = p_used * scale
             out = out[..., ps : ps + h0 * scale, ps : ps + w0 * scale]
         return out
     patches = lf_divide(lr_sai, ang, patch, stride)  # [N, A*p, A*p]
@@ -187,6 +214,29 @@ def _sharded_runner(apply_fn, mesh, ang_out, patch, scale, stride, h0, w0, n,
     return jax.jit(run_all, in_shardings=(repl, shard_b), out_shardings=repl)
 
 
+def _make_whole_run(apply_fn, ang, ang_out, scale, whole_pad):
+    """Scene-batch whole-scene SR body shared by the single-device and
+    sharded runners: pad (via :func:`_whole_pad_batch`) -> one model call
+    on the whole SAI batch -> views -> crop the pad back off."""
+
+    def run(params_, sais_):  # [N, A*h0, A*w0]
+        x = sais_
+        h0_, w0_ = x.shape[1] // ang, x.shape[2] // ang
+        p_used = 0
+        if whole_pad:
+            x, p_used = _whole_pad_batch(x, ang, whole_pad)
+        sr = apply_fn(params_, x[..., None])[..., 0]
+        n, H, W = sr.shape
+        v = sr.reshape(n, ang_out, H // ang_out, ang_out, W // ang_out)
+        v = jnp.moveaxis(v, 2, 3)  # [N, A, A, h, w]
+        if p_used:
+            ps = p_used * scale
+            v = v[..., ps : ps + h0_ * scale, ps : ps + w0_ * scale]
+        return v
+
+    return run
+
+
 @functools.lru_cache(maxsize=64)
 def _whole_sharded_runner(apply_fn, mesh, ang, ang_out, scale, whole_pad):
     """Cached jitted scene-batch runner: whole scenes data-parallel over
@@ -197,29 +247,7 @@ def _whole_sharded_runner(apply_fn, mesh, ang, ang_out, scale, whole_pad):
 
     repl = NamedSharding(mesh, P())
     shard_n = NamedSharding(mesh, P("data"))
-
-    def run(params_, sais_):  # [N, A*h0, A*w0]
-        x = sais_
-        n_, H_, W_ = x.shape
-        h0_, w0_ = H_ // ang, W_ // ang
-        if whole_pad:
-            p = whole_pad
-            pb = p + (-(h0_ + 2 * p) % 8)
-            pr = p + (-(w0_ + 2 * p) % 8)
-            v = x.reshape(n_, ang, h0_, ang, w0_)
-            v = jnp.pad(
-                v, ((0, 0), (0, 0), (p, pb), (0, 0), (p, pr)), mode="symmetric"
-            )
-            x = v.reshape(n_, ang * (h0_ + p + pb), ang * (w0_ + p + pr))
-        sr = apply_fn(params_, x[..., None])[..., 0]
-        n, H, W = sr.shape
-        v = sr.reshape(n, ang_out, H // ang_out, ang_out, W // ang_out)
-        v = jnp.moveaxis(v, 2, 3)  # [N, A, A, h, w]
-        if whole_pad:
-            ps = whole_pad * scale
-            v = v[..., ps : ps + h0_ * scale, ps : ps + w0_ * scale]
-        return v
-
+    run = _make_whole_run(apply_fn, ang, ang_out, scale, whole_pad)
     return jax.jit(run, in_shardings=(repl, shard_n), out_shardings=repl)
 
 
@@ -229,30 +257,7 @@ def _whole_batch_runner(apply_fn, ang, ang_out, scale, whole_pad):
     scene-batch dispatch per geometry. Batching scenes amortizes the
     per-dispatch latency the B=1 whole-scene call pays — measured 388 ->
     335 ms/scene at [*,720,720] on v5e (PERF.md round 3)."""
-
-    def run(params_, sais_):  # [N, A*h0, A*w0]
-        x = sais_
-        n_, H_, W_ = x.shape
-        h0_, w0_ = H_ // ang, W_ // ang
-        if whole_pad:
-            p = whole_pad
-            pb = p + (-(h0_ + 2 * p) % 8)
-            pr = p + (-(w0_ + 2 * p) % 8)
-            v = x.reshape(n_, ang, h0_, ang, w0_)
-            v = jnp.pad(
-                v, ((0, 0), (0, 0), (p, pb), (0, 0), (p, pr)), mode="symmetric"
-            )
-            x = v.reshape(n_, ang * (h0_ + p + pb), ang * (w0_ + p + pr))
-        sr = apply_fn(params_, x[..., None])[..., 0]
-        n, H, W = sr.shape
-        v = sr.reshape(n, ang_out, H // ang_out, ang_out, W // ang_out)
-        v = jnp.moveaxis(v, 2, 3)  # [N, A, A, h, w]
-        if whole_pad:
-            ps = whole_pad * scale
-            v = v[..., ps : ps + h0_ * scale, ps : ps + w0_ * scale]
-        return v
-
-    return jax.jit(run)
+    return jax.jit(_make_whole_run(apply_fn, ang, ang_out, scale, whole_pad))
 
 
 def sr_scenes_whole(

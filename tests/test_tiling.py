@@ -195,3 +195,25 @@ def test_sr_scene_epsw_wiring():
         jnp.reshape(jnp.asarray(sai), (ANG, h0, ANG, w0)).transpose(0, 2, 1, 3)
     )
     np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-5)
+
+
+def test_integrate_gaussian_no_nan_in_ext_tail():
+    """When patch is not a stride multiple the extended grid has rows
+    past (n1-1)*stride+patch with zero weight sum; the 0/0 there must be
+    neutralized (cropped anyway) so jax_debug_nans stays clean (ADVICE
+    r3): the FULL pre-crop division is exercised via a grad, which sees
+    NaNs anywhere in the graph."""
+    patch, stride, h0, w0 = 12, 8, 28, 28
+    n1, n2 = tile_counts(h0, w0, patch, stride)
+    rng = np.random.default_rng(7)
+    pats = rng.random((n1 * n2, ANG * patch, ANG * patch)).astype(np.float32)
+
+    import jax
+
+    def f(p):
+        return jnp.sum(
+            lf_integrate_gaussian(p, ANG, patch, stride, h0, w0, sigma=2.0)
+        )
+
+    g = jax.grad(f)(jnp.asarray(pats))
+    assert bool(jnp.all(jnp.isfinite(g)))

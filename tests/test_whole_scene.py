@@ -123,3 +123,37 @@ def test_whole_scene_batch_single_device_matches_per_scene():
             )
         )
         np.testing.assert_array_equal(batched[i], single)
+
+
+def test_whole_scene_pad_clamped_on_tiny_scenes():
+    """Scenes whose LR view extent is smaller than pad+8 must not crash
+    inside jit (symmetric pad > extent raises); the effective pad is
+    clamped — to zero here (h0=6 < 8) — and the output stays the
+    un-padded result for a pixel-local model (ADVICE r3)."""
+    for h0, w0 in ((6, 6), (10, 9)):
+        lr = jnp.asarray(
+            np.random.default_rng(4).random((ANG * h0, ANG * w0)), jnp.float32
+        )
+        kw = dict(ang=ANG, scale=SCALE, patch=max(h0, w0), stride=max(h0, w0),
+                  minibatch=1, h0=h0, w0=w0, whole=True)
+        base = sr_scene(_pointwise_apply, None, lr, **kw)
+        padded = sr_scene(_pointwise_apply, None, lr, whole_pad=8, **kw)
+        assert padded.shape == (ANG, ANG, h0 * SCALE, w0 * SCALE)
+        np.testing.assert_array_equal(np.asarray(padded), np.asarray(base))
+
+
+def test_epsw_sigma_zero_rejected():
+    """An explicit epsw_sigma=0.0 is a config error, not a request for
+    the patch/6 default (ADVICE r3)."""
+    import pytest as _pytest
+
+    h0 = 16
+    lr = jnp.asarray(
+        np.random.default_rng(5).random((ANG * h0, ANG * h0)), jnp.float32
+    )
+    with _pytest.raises(ValueError, match="epsw_sigma"):
+        sr_scene(
+            _pointwise_apply, None, lr, ang=ANG, scale=SCALE, patch=8,
+            stride=4, minibatch=4, h0=h0, w0=h0, integrate="gaussian",
+            integrate_sigma=0.0,
+        )
