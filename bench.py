@@ -160,13 +160,84 @@ def bench_model(model_name: str, minibatch: int | None, iters: int) -> dict:
     }
 
 
+def bench_train(model_name: str = "LFMambaX", batch: int = 8,
+                steps: int = 6) -> dict:
+    """Device-bound production train-step throughput (VERDICT r3 #5).
+
+    The PRODUCTION step (Trainer._build_step: augmentation, composite
+    loss, grad, AdamW update, in-step metrics — bf16, remat, donated
+    state) on device-staged SAI-160 batches. Batches are pre-put on
+    device so the number is the chip-bound steps/s a local host would
+    see, not the axon tunnel's ~0.9 s/step H2D (PERF.md round 3).
+    Warm-up is TWO steps: a donated-state jit recompiles on its second
+    call (post-donation layouts differ from the init device_put layouts).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from lfsr_tpu.config import Config
+    from lfsr_tpu.data.datasets import TrainArrays  # noqa: F401 (schema ref)
+    from lfsr_tpu.train.trainer import Trainer
+
+    cfg = Config(
+        model_name=model_name, scale_factor=4, batch_size=batch,
+        epochs=50, use_masked_pretrain=False,
+    )
+    rng = np.random.default_rng(0)
+    tr = Trainer(cfg, steps_per_epoch=steps)
+    state = tr.init_state(
+        jax.random.key(0), rng.random((1, 160, 160, 1), np.float32)
+    )
+    fn = tr.step_fn(0)
+    n_stage = max(4, min(steps, 8))
+    lrs = [
+        jax.device_put(rng.random((batch, 160, 160), np.float32))
+        for _ in range(n_stage)
+    ]
+    hrs = [
+        jax.device_put(rng.random((batch, 640, 640), np.float32))
+        for _ in range(n_stage)
+    ]
+    ratio = jnp.float32(0.0)
+
+    def one(i, st):
+        return fn(st, lrs[i % n_stage], hrs[i % n_stage],
+                  jax.random.fold_in(jax.random.key(1), i), ratio)
+
+    state, m = one(0, state)   # compile
+    state, m = one(1, state)   # post-donation recompile
+    float(m["loss"])           # sync
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, m = one(2 + i, state)
+    float(m["loss"])           # queue flush: fetch the final loss scalar
+    dt = (time.perf_counter() - t0) / steps
+    return {
+        "model": model_name,
+        "train_steps_per_sec": round(1.0 / dt, 4),
+        "train_patches_per_sec": round(batch / dt, 2),
+        "train_batch": batch,
+        "train_step_ms": round(dt * 1e3, 1),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model_name", default=None)
     ap.add_argument("--minibatch", type=int, default=None)
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--zoo", action="store_true")
+    ap.add_argument("--train", action="store_true",
+                    help="bench the production train step only")
+    ap.add_argument("--train_batch", type=int, default=8)
     args = ap.parse_args()
+
+    if args.train:
+        print(json.dumps(bench_train(
+            args.model_name or "LFMambaX", args.train_batch,
+            args.iters or 6,
+        )))
+        return
 
     if args.zoo:
         for name in ZOO:
@@ -198,6 +269,13 @@ def main():
     for k in ("patches_per_sec", "flops_per_patch_g", "flops_per_scene_g"):
         if k in r:
             line[k] = r[k]
+    # Training throughput rides along in the driver JSON so a training
+    # regression is bench-visible, not just an eval one (VERDICT r3 #5).
+    try:
+        line.update(bench_train("LFMambaX", 8, 4))
+        line.pop("model", None)
+    except Exception as e:
+        line["train_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(line))
 
 

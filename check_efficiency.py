@@ -21,6 +21,9 @@ def main():
     p = build_parser()
     p.add_argument("--bench", action="store_true", help="run latency benchmark")
     p.add_argument("--deploy", action="store_true", help="test the reparameterized graph")
+    p.add_argument("--detailed", action="store_true",
+                   help="per-module params + FLOPs table "
+                        "(check_efficiency_official.py:456-463)")
     p.add_argument("--json", action="store_true")
     args = p.parse_args()
     cfg = config_from_args(args)
@@ -30,7 +33,7 @@ def main():
     if args.json:
         print(json.dumps(report, default=str))
     else:
-        print(format_report(report))
+        print(format_report(report, detailed=args.detailed))
     return 0 if report["verdict"] else 1
 
 

@@ -45,8 +45,30 @@ def count_params(params) -> tuple[int, dict[str, int]]:
     return total, dict(by_module)
 
 
-def fvcore_macs(fn, *args) -> int:
-    """Analytic MAC count under the OFFICIAL (fvcore) convention.
+_SCOPE_RE = None
+
+
+def _module_key(stack: str) -> str:
+    """Group a jaxpr name-stack ('Model/block_0/SS2D_0/...') to the same
+    top-level module key the parameter breakdown uses ('block_0').
+
+    Transform frames (jit(einsum) specs like '...i,oi->...o', vmap/remat
+    wrappers) are not flax scopes — they are filtered out so work done by
+    helper jits at model top level lands in '(top)', not under a
+    pseudo-module named after an einsum spec."""
+    global _SCOPE_RE
+    if _SCOPE_RE is None:
+        import re
+
+        _SCOPE_RE = re.compile(r"^[A-Za-z0-9_.]+$")
+    parts = [p for p in stack.split("/") if p and _SCOPE_RE.match(p)]
+    return parts[1] if len(parts) >= 2 else "(top)"
+
+
+def fvcore_macs_detailed(fn, *args) -> tuple[int, dict[str, int]]:
+    """Analytic MAC count under the OFFICIAL (fvcore) convention, with a
+    per-module breakdown (reference ``--detailed``,
+    check_efficiency_official.py:456-463 / check_efficiency_detailed.py).
 
     The CodaBench gate runs fvcore (check_efficiency_official.py:124-167),
     which counts only conv / linear / matmul MACs and skips elementwise
@@ -57,13 +79,20 @@ def fvcore_macs(fn, *args) -> int:
     including the Pallas scan custom-call — is skipped, exactly as fvcore
     skips the CUDA mamba op. Inner jaxprs (pjit/remat/custom_vjp) are
     recursed; ``scan`` bodies are multiplied by trip count.
+
+    Attribution uses each equation's flax scope name-stack, so the
+    breakdown keys match :func:`count_params`'s and the per-module values
+    sum EXACTLY to the total (pinned in tests/test_efficiency.py).
     """
     closed = jax.make_jaxpr(fn)(*args)
+    by_module: dict[str, int] = defaultdict(int)
 
-    def count(jaxpr) -> int:
+    def count(jaxpr, prefix: str, mult: int) -> int:
         total = 0
         for eqn in jaxpr.eqns:
             name = eqn.primitive.name
+            stack = prefix + "/" + str(eqn.source_info.name_stack)
+            macs = 0
             if name == "conv_general_dilated":
                 out = eqn.outvars[0].aval
                 rhs = eqn.invars[1].aval
@@ -73,7 +102,7 @@ def fvcore_macs(fn, *args) -> int:
                 spatial = math.prod(
                     rhs.shape[d] for d in dn.rhs_spec[2:]
                 )
-                total += math.prod(out.shape) * cin_g * spatial
+                macs = math.prod(out.shape) * cin_g * spatial
             elif name == "dot_general":
                 (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
                 lhs = eqn.invars[0].aval
@@ -84,22 +113,31 @@ def fvcore_macs(fn, *args) -> int:
                 n = math.prod(rhs.shape) // max(
                     1, math.prod(rhs.shape[d] for d in rc) * math.prod(rhs.shape[d] for d in rb)
                 )
-                total += b * m * n * k
+                macs = b * m * n * k
             elif name == "scan":
-                total += eqn.params["length"] * count(eqn.params["jaxpr"].jaxpr)
+                total += count(
+                    eqn.params["jaxpr"].jaxpr, stack, mult * eqn.params["length"]
+                )
             else:
                 for key in ("jaxpr", "call_jaxpr", "fun_jaxpr"):
                     sub = eqn.params.get(key)
                     if sub is not None:
-                        total += count(getattr(sub, "jaxpr", sub))
+                        total += count(getattr(sub, "jaxpr", sub), stack, mult)
                         break
-                else:
-                    if name == "custom_vjp_call":
-                        sub = eqn.params.get("fwd_jaxpr_thunk")
-                        # forward-only count handled via call_jaxpr above
+            if macs:
+                by_module[_module_key(stack)] += macs * mult
+                total += macs * mult
         return total
 
-    return count(closed.jaxpr)
+    # the outermost prefix is empty: top-level eqn stacks already start
+    # with the model scope ('EfficientLFNetV63/...')
+    total = count(closed.jaxpr, "", 1)
+    return total, dict(by_module)
+
+
+def fvcore_macs(fn, *args) -> int:
+    """Total-only wrapper of :func:`fvcore_macs_detailed`."""
+    return fvcore_macs_detailed(fn, *args)[0]
 
 
 def xla_flops(apply_fn, params, x) -> float | None:
@@ -167,7 +205,7 @@ def check_efficiency(cfg: Config, bench: bool = False, input_shape=OFFICIAL_INPU
 
     flops2 = xla_flops(model.apply, variables, x)
     macs = flops2 / 2.0 if flops2 else None
-    official = fvcore_macs(model.apply, variables, x)
+    official, flops_breakdown = fvcore_macs_detailed(model.apply, variables, x)
 
     report = {
         "model": cfg.model_name,
@@ -176,12 +214,17 @@ def check_efficiency(cfg: Config, bench: bool = False, input_shape=OFFICIAL_INPU
         "non_trainable": other_collections,
         "params_limit": PARAM_LIMIT,
         "params_pass": total < PARAM_LIMIT,
-        "param_breakdown": dict(sorted(breakdown.items(), key=lambda kv: -kv[1])[:12]),
+        "param_breakdown": dict(sorted(breakdown.items(), key=lambda kv: -kv[1])),
         "xla_flops": flops2,
         "flops_mac_convention": macs,
         # the number CodaBench's fvcore gate would see (conv/matmul MACs
         # only; scan and elementwise ops skipped)
         "official_fvcore_macs": official,
+        # per-module MACs (fvcore convention, reference --detailed) —
+        # full dict, values sum exactly to official_fvcore_macs
+        "flops_breakdown": dict(
+            sorted(flops_breakdown.items(), key=lambda kv: -kv[1])
+        ),
         "official_pass": official < FLOPS_LIMIT,
         "flops_limit": FLOPS_LIMIT,
         "flops_pass": (macs is not None) and (macs < FLOPS_LIMIT),
@@ -206,12 +249,22 @@ def check_efficiency(cfg: Config, bench: bool = False, input_shape=OFFICIAL_INPU
     return report
 
 
-def format_report(r: dict) -> str:
+def format_report(r: dict, detailed: bool = False) -> str:
     lines = [
         f"model: {r['model']}  input {r['input_shape']}",
         f"params: {r['params']:,} / {r['params_limit']:,}  "
         f"[{'PASS' if r['params_pass'] else 'FAIL'}]",
     ]
+    if detailed:
+        lines.append("per-module breakdown (params | official MACs):")
+        flops = r.get("flops_breakdown", {})
+        mods = dict(r.get("param_breakdown", {}))
+        for name in sorted(set(mods) | set(flops),
+                           key=lambda n: -flops.get(n, 0)):
+            lines.append(
+                f"  {name:<28s} {mods.get(name, 0):>10,}  "
+                f"{flops.get(name, 0) / 1e9:>8.3f} G"
+            )
     if r["flops_mac_convention"] is not None:
         lines.append(
             f"flops (MAC conv.): {r['flops_mac_convention']/1e9:.2f} G / "

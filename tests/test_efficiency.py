@@ -76,3 +76,27 @@ def test_check_efficiency_reports_official_and_honest():
     assert abs(r["flops_mac_convention"] - r["official_fvcore_macs"]) / r[
         "official_fvcore_macs"
     ] < 0.2
+
+
+def test_flops_breakdown_sums_to_total():
+    """Per-module FLOPs breakdown (reference --detailed parity): the
+    name-stack attributed per-module MACs must sum EXACTLY to the total,
+    keys must match the param-breakdown convention, and a scan/remat-free
+    flagship-class model must attribute its Mamba dense work to the
+    blocks."""
+    from lfsr_tpu.config import Config
+    from lfsr_tpu.tools.efficiency import check_efficiency
+
+    r = check_efficiency(
+        Config(model_name="EfficientLFNetV6_3", scale_factor=4,
+               compute_dtype="float32",
+               model_kwargs={"n_blocks": 2, "channels": 8, "d_state": 4,
+                             "remat": False}),
+        input_shape=(1, 40, 40, 1),
+    )
+    bd = r["flops_breakdown"]
+    assert sum(bd.values()) == r["official_fvcore_macs"]
+    assert "block_0" in bd and bd["block_0"] > 0
+    # every FLOPs module key is a param module key (same grouping)
+    unparam = set(bd) - set(r["param_breakdown"]) - {"(top)"}
+    assert not unparam, unparam
