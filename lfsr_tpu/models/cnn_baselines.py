@@ -30,7 +30,14 @@ def _nhwc(x):
 
 
 def bicubic_up(x: jnp.ndarray, s: int) -> jnp.ndarray:
-    """torch-semantics bicubic upsample of an NHWC tensor."""
+    """torch-semantics bicubic upsample of an NHWC tensor.
+
+    Stays on the dense-matmul interpolate: the phase-conv form
+    (ops/resize.up_phase_conv, exact same linear map) measured SLOWER at
+    the production geometries on v5e (6.4 vs 4.7 ms at [2,720,720,1],
+    3.9 vs 2.1 at [8,160,160,1] — the 16-lane grouped conv + HR shuffle
+    relayout cost more than the f32 matmuls they replace; PERF.md r4).
+    Either way the residual is <1% of a whole-scene iteration."""
     return _nhwc(interpolate(_nchw(x), s, method="bicubic"))
 
 

@@ -574,7 +574,19 @@ class HLFR(nn.Module):
         out_conv = conv(1, 3, padding=1, dtype=dt)
         for si, r in enumerate(stages):
             y = lrelu(_dw_apply(y, c, dt))
-            y = conv(c * r * r, 1, use_bias=False, dtype=dt)(y)
+            # phase-expansion 1x1 applied as a dot_general, not a conv op:
+            # at whole-scene geometry the conv lowering picks a tiled
+            # layout ({3,1,2,0}) the downstream lrelu+taps chain must copy
+            # out of — three ~2 GB relayouts at [2,1440,1440,256].
+            # Measured 33.9 -> 14.4 ms for the final-stage chain on v5e
+            # (PERF.md r4). Identical params/tree (kernel lives in the
+            # same Conv module).
+            exp_conv = conv(c * r * r, 1, use_bias=False, dtype=dt)
+            _ = exp_conv(jnp.zeros((1, 1, 1, c), dt))
+            wexp = exp_conv.variables["params"]["kernel"].reshape(c, c * r * r)
+            y = jax.lax.dot_general(
+                y, wexp.astype(dt), (((3,), (0,)), ((), ()))
+            )
             if si == len(stages) - 1:
                 # final stage: keep z at LR, fold the out conv through
                 # the shuffle (lrelu commutes with the shuffle)

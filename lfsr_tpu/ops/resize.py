@@ -245,6 +245,61 @@ def _apply_plan_dense_jnp(x: jnp.ndarray, w, idx, axis: int) -> jnp.ndarray:
     return jnp.moveaxis(out, -1, axis).astype(x.dtype)
 
 
+@functools.lru_cache(maxsize=64)
+def _phase_conv_kernel(scale: int) -> np.ndarray:
+    """Per-phase 1-D torch-bicubic weights packed into a [scale, K] taps
+    table for the integer-scale phase-conv form (see up_phase_conv)."""
+    dst = np.arange(scale, dtype=np.float64)
+    src = (dst + 0.5) / scale - 0.5
+    base = np.floor(src)
+    frac = src - base
+    offs = np.arange(-1, 3, dtype=np.float64)
+    w = _cubic_keys(frac[:, None] - offs[None, :], a=-0.75)  # [s, 4]
+    start = (base + 1).astype(np.int64)  # tap-0 slot in the width-K window
+    K = int(start.max()) + 4
+    k1 = np.zeros((scale, K), np.float32)
+    for p in range(scale):
+        k1[p, start[p] : start[p] + 4] = w[p]
+    return k1
+
+
+def up_phase_conv(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """torch bicubic (align_corners=False) INTEGER-scale upsample of an
+    NHWC tensor as edge-pad + ONE small phase conv + pixel shuffle.
+
+    Identical linear map to ``interpolate(..., 'bicubic')``: at integer
+    scale the plan weights repeat with period ``scale`` (the source
+    fraction depends only on dst % scale), and ATen's index clamping IS
+    edge padding (out-of-range taps read the border pixel, and the tap
+    index range is exactly [-2, in+1] -> pad 2 each side). The dense
+    [out, in] matmul form moves O(H_out * H_in) f32-HIGHEST FLOPs plus
+    two layout transposes per axis; this form is a [K, K, 1, s^2]
+    depthwise-phase conv at LR (O(K^2 s^2) per pixel) that XLA fuses
+    with the surrounding model — measured as the whole-scene trace's
+    26 ms bicubic-residual bucket at [1,720,720,1]->4x on v5e.
+    Exactness vs interpolate() is pinned in tests/test_resize.py.
+    """
+    b, h, w, c = x.shape
+    k1 = _phase_conv_kernel(int(scale))
+    K = k1.shape[1]
+    ss = scale * scale
+    k2 = np.einsum("pa,qb->abpq", k1, k1).reshape(K, K, 1, ss)
+    if c > 1:
+        k2 = np.tile(k2, (1, 1, 1, c))  # per-group identical phase kernel
+    xp = jnp.pad(
+        x.astype(jnp.float32), ((0, 0), (2, 2), (2, 2), (0, 0)), mode="edge"
+    )
+    out = jax.lax.conv_general_dilated(
+        xp, jnp.asarray(k2), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [B, h, w, c*ss], channel = g*ss + py*s + px (torch shuffle order)
+    bshape = out.reshape(b, h, w, c, scale, scale)
+    out = bshape.transpose(0, 1, 4, 2, 5, 3).reshape(b, h * scale, w * scale, c)
+    return out.astype(x.dtype) if x.dtype != jnp.float32 else out
+
+
 def interpolate(x: jnp.ndarray, scale_factor: int, method: str = "bicubic") -> jnp.ndarray:
     """torch.nn.functional.interpolate(align_corners=False) on NCHW arrays.
 

@@ -111,12 +111,27 @@ class Trainer:
         )
 
     # ------------------------------------------------------------------
-    def _build_step(self, mask_k: int):
+    def _build_step(self, mask_k: int, gather: bool = False):
         cfg = self.cfg
         model, loss_fn, tx = self.model, self.loss_fn, self.tx
         ang = cfg.angRes
+        bs = self._bs
 
         def step(state: TrainState, lr, hr, key, sracm_ratio):
+            if gather:
+                # device-resident dataset fast path: lr/hr arrive as the
+                # FULL train arrays (staged on device once per epoch set),
+                # key carries (prng, idx) — the batch gather runs on
+                # device, so no per-step H2D at all (the host->device
+                # link, ~0.9 s/step over the axon tunnel for a batch-8
+                # SAI-160 batch, drops out of the step entirely)
+                key, idx = key
+                lr = jax.lax.with_sharding_constraint(
+                    jnp.take(lr, idx, axis=0), bs
+                )
+                hr = jax.lax.with_sharding_constraint(
+                    jnp.take(hr, idx, axis=0), bs
+                )
             kaug, kmask, ksr, kdrop = jax.random.split(key, 4)
             lr_a, hr_a = (
                 augment_batch(kaug, lr, hr) if cfg.augment else (lr, hr)
@@ -172,10 +187,30 @@ class Trainer:
 
         return jax.jit(step, donate_argnums=(0,))
 
-    def step_fn(self, mask_k: int) -> Callable:
-        if mask_k not in self._step_fns:
-            self._step_fns[mask_k] = self._build_step(mask_k)
-        return self._step_fns[mask_k]
+    def step_fn(self, mask_k: int, gather: bool = False) -> Callable:
+        k = (mask_k, gather)
+        if k not in self._step_fns:
+            self._step_fns[k] = self._build_step(mask_k, gather)
+        return self._step_fns[k]
+
+    # ------------------------------------------------------------------
+    def _data_on_device(self, data) -> bool:
+        """Stage the full train arrays on device (replicated) when they
+        fit comfortably; cached per data object. The 144-scene NTIRE
+        training set is ~2 GB as f32 SAI mosaics — far under one v5e's
+        16 GB HBM even next to batch-8 training state."""
+        limit = float(self.cfg.mk("device_data_gb", 4.0)) * 1e9
+        nbytes = data.lr.nbytes + data.hr.nbytes
+        if nbytes > limit:
+            return False
+        key = id(data)
+        if getattr(self, "_ddata_key", None) != key:
+            self._ddata = (
+                jax.device_put(data.lr, self._rep),
+                jax.device_put(data.hr, self._rep),
+            )
+            self._ddata_key = key
+        return True
 
     # ------------------------------------------------------------------
     def run_epoch(
@@ -194,30 +229,48 @@ class Trainer:
             else 0.0
         )
         mask_k = masking.num_masked_views(cfg.angRes, ratio) if ratio > 0 else 0
-        fn = self.step_fn(mask_k)
 
         kperm, kstep = jax.random.split(jax.random.fold_in(key, epoch))
         idx = batch_indices(kperm, len(data), cfg.batch_size, self.steps_per_epoch)
 
-        # One-batch-ahead prefetch: the host-side fancy-index gather +
-        # device_put for step i+1 happen while the device runs step i, so
-        # the chip never idles on H2D (the dispatch itself is async).
-        def _prep(i):
-            b = idx[i]
-            return (
-                jax.device_put(data.lr[b], self._bs),
-                jax.device_put(data.hr[b], self._bs),
-            )
-
-        nxt = _prep(0)
         metrics_acc: dict[str, list] = {}
-        for i in range(self.steps_per_epoch):
-            lr, hr = nxt
-            state, m = fn(state, lr, hr, jax.random.fold_in(kstep, i), jnp.float32(ratio))
-            if i + 1 < self.steps_per_epoch:
-                nxt = _prep(i + 1)
-            for k, v in m.items():
-                metrics_acc.setdefault(k, []).append(v)
+        if self._data_on_device(data):
+            # Device-resident fast path: the full train arrays live on
+            # device (replicated); each step gathers its batch IN-jit, so
+            # the only per-step H2D is a [B] int32 index vector. The
+            # reference's DataLoader-worker pipeline (train.py:36-38)
+            # exists to hide exactly this host->device traffic.
+            fn = self.step_fn(mask_k, gather=True)
+            lr_all, hr_all = self._ddata
+            for i in range(self.steps_per_epoch):
+                state, m = fn(
+                    state, lr_all, hr_all,
+                    (jax.random.fold_in(kstep, i), jnp.asarray(idx[i])),
+                    jnp.float32(ratio),
+                )
+                for k, v in m.items():
+                    metrics_acc.setdefault(k, []).append(v)
+        else:
+            fn = self.step_fn(mask_k)
+
+            # One-batch-ahead prefetch: the host-side fancy-index gather +
+            # device_put for step i+1 happen while the device runs step i,
+            # so the chip never idles on H2D (the dispatch itself is async).
+            def _prep(i):
+                b = idx[i]
+                return (
+                    jax.device_put(data.lr[b], self._bs),
+                    jax.device_put(data.hr[b], self._bs),
+                )
+
+            nxt = _prep(0)
+            for i in range(self.steps_per_epoch):
+                lr, hr = nxt
+                state, m = fn(state, lr, hr, jax.random.fold_in(kstep, i), jnp.float32(ratio))
+                if i + 1 < self.steps_per_epoch:
+                    nxt = _prep(i + 1)
+                for k, v in m.items():
+                    metrics_acc.setdefault(k, []).append(v)
         out = {
             k: float(jnp.mean(jnp.stack(v))) for k, v in metrics_acc.items()
         }

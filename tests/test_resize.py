@@ -84,3 +84,25 @@ def test_interpolate_matches_torch(method, scale):
         .numpy()
     )
     np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=2e-6)
+
+
+def test_up_phase_conv_matches_interpolate_exactly():
+    """The integer-scale phase-conv form is the SAME linear map as the
+    dense torch-plan interpolate (periodic weights + clamp==edge-pad):
+    parity to f32 accumulation order on assorted geometries, channels,
+    and scales, including tiny inputs where every tap clamps."""
+    import jax.numpy as jnp
+
+    from lfsr_tpu.ops.resize import interpolate, up_phase_conv
+
+    rng = np.random.default_rng(11)
+    for (h, w, c), s in [
+        ((40, 40, 1), 4), ((7, 13, 1), 4), ((16, 10, 3), 2),
+        ((5, 5, 2), 3), ((1, 3, 1), 4), ((160, 160, 1), 4),
+    ]:
+        x = jnp.asarray(rng.random((2, h, w, c)), jnp.float32)
+        fast = np.asarray(up_phase_conv(x, s))
+        ref = np.asarray(
+            interpolate(x.transpose(0, 3, 1, 2), s, method="bicubic")
+        ).transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(fast, ref, rtol=0, atol=2e-6)

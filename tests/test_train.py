@@ -155,3 +155,30 @@ def test_evaluate_scene_re_task():
     assert np.isfinite(psnr) and np.isfinite(ssim)
     # random target: PSNR must be low but positive
     assert 0 < psnr < 20
+
+
+def test_device_resident_epoch_matches_host_fed():
+    """The device-resident data fast path (full arrays staged once,
+    in-jit batch gather) must produce EXACTLY the params and metrics of
+    the host-fed prefetch path — same indices, same keys, same math."""
+    data = _synthetic_data()
+    cfg = _cfg().replace(use_masked_pretrain=True)
+
+    def run(device_data_gb):
+        c = cfg.replace(
+            model_kwargs={**cfg.model_kwargs, "device_data_gb": device_data_gb}
+        )
+        tr = Trainer(c, steps_per_epoch=4)
+        state = tr.init_state(jax.random.key(0), data.lr[:1][..., None])
+        state, m = tr.run_epoch(state, data, epoch=0, key=jax.random.key(5))
+        return state, m
+
+    s_dev, m_dev = run(4.0)     # fits -> device-resident path
+    s_host, m_host = run(0.0)   # forced host-fed path
+    for k in m_host:
+        assert np.isclose(m_dev[k], m_host[k], rtol=0, atol=1e-6), (k, m_dev[k], m_host[k])
+    deltas = jax.tree.map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+        s_dev.params, s_host.params,
+    )
+    assert max(jax.tree.leaves(deltas)) == 0.0

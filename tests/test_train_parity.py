@@ -77,9 +77,10 @@ def _torch_train(tm, batches, lrs, criterion=None):
     return tm, losses
 
 
-def _jax_train(name_flax, torch_init_model, mapper, batches, cfg):
+def _jax_train(name_flax, torch_init_model, mapper, batches, cfg,
+               steps_per_epoch=None):
     """Run OUR production step (Trainer._build_step) from transferred init."""
-    tr = Trainer(cfg, steps_per_epoch=len(batches))
+    tr = Trainer(cfg, steps_per_epoch=steps_per_epoch or len(batches))
     lr0 = batches[0][0]
     state = tr.init_state(jax.random.key(0), lr0[..., None])
 
@@ -106,7 +107,16 @@ def _jax_train(name_flax, torch_init_model, mapper, batches, cfg):
 def _run_train_parity(
     name_flax, ref_name, mapper, n_steps=20,
     loss_rtol=2e-4, param_atol=2e-4, criterion=None, model_kwargs=None,
+    epochs=50, steps_per_epoch=None, report=None,
 ):
+    """``steps_per_epoch`` decouples the schedule granularity from the
+    number of steps run: with epochs=10, steps_per_epoch=20, n_steps=200
+    the run crosses the warmup->cosine boundary at step 20 and rides the
+    cosine to near min_lr — training-scale schedule coverage (VERDICT r3
+    #2a), vs the short-horizon default that stays inside warmup.
+    ``report`` (a dict) receives the loss curves and param-norm
+    trajectories for logging."""
+    spe = steps_per_epoch or n_steps
     cfg = Config(
         model_name=name_flax,
         scale_factor=4,
@@ -114,23 +124,41 @@ def _run_train_parity(
         augment=False,
         use_masked_pretrain=False,
         batch_size=2,
-        epochs=50,  # reference-default recipe: warmup = min(5, 50//10) = 5
+        epochs=epochs,  # reference recipe: warmup = min(5, epochs//10)
         model_kwargs=model_kwargs or {},
     )
     # identical per-step LR on both sides (production schedule)
-    sched = make_schedule(cfg, steps_per_epoch=n_steps)
+    sched = make_schedule(cfg, steps_per_epoch=spe)
     lrs = [float(sched(i)) for i in range(n_steps)]
 
     batches = _batches(n_steps)
     tm = load_ref_model(ref_name, ref_args(scale_factor=4))
     # transfer BEFORE torch training mutates the weights
-    state, j_losses = _jax_train(name_flax, tm, mapper, batches, cfg)
+    state, j_losses = _jax_train(name_flax, tm, mapper, batches, cfg,
+                                 steps_per_epoch=spe)
     tm_final, t_losses = _torch_train(tm, batches, lrs, criterion=criterion)
 
     for i, (lj, lt) in enumerate(zip(j_losses, t_losses)):
         rel = abs(lj - lt) / max(abs(lt), 1e-8)
-        assert rel < loss_rtol, (
+        # f32 Adam rounding chaos accumulates with step count; the
+        # systematic-drift check is the whole curve agreeing within a
+        # horizon-scaled envelope, not bit-parity at step 200
+        tol = loss_rtol * max(1.0, i / 20.0)
+        assert rel < tol, (
             f"{name_flax} step {i}: jax {lj:.8f} torch {lt:.8f} rel {rel:.2e}"
+        )
+    if report is not None:
+        tnorm = float(
+            np.sqrt(sum((p.detach().numpy().astype(np.float64) ** 2).sum()
+                        for p in tm_final.parameters()))
+        )
+        jnorm = float(np.sqrt(sum(
+            (np.asarray(p, np.float64) ** 2).sum()
+            for p in jax.tree.leaves(state.params)
+        )))
+        report.update(
+            j_losses=j_losses, t_losses=t_losses, lrs=lrs,
+            jax_param_norm=jnorm, torch_param_norm=tnorm,
         )
 
     # final parameters: map torch's trained state_dict and diff every leaf
@@ -216,3 +244,50 @@ def test_v6_train_parity_with_reference_loss():
         n_steps=10, loss_rtol=1e-3, param_atol=2e-4,
         criterion=crit, model_kwargs={"ssm_impl": "conv"},
     )
+
+
+@pytest.mark.slow
+def test_distg_ssr_train_parity_200_steps_across_schedule():
+    """Training-SCALE parity (VERDICT r3 #2a): 200 reference-recipe steps
+    with epochs=10 x 20 steps/epoch — warmup ends at step 20, then 180
+    cosine-decay steps to near min_lr. Checks the full loss curve under a
+    horizon-scaled envelope plus final param agreement and global
+    param-norm match, so schedule/optimizer drift that only shows past
+    the warmup boundary cannot hide."""
+    rep = {}
+    _run_train_parity(
+        "DistgSSR", "DistgSSR", _map_distg, n_steps=200,
+        epochs=10, steps_per_epoch=20,
+        loss_rtol=3e-4, param_atol=2e-3, report=rep,
+    )
+    # warmup->cosine boundary actually crossed (lr peaked then decayed)
+    lrs = rep["lrs"]
+    assert max(lrs) == max(lrs[:30]) and lrs[-1] < 0.2 * max(lrs)
+    # param norms agree to f32-accumulation noise
+    rel = abs(rep["jax_param_norm"] - rep["torch_param_norm"]) / rep["torch_param_norm"]
+    assert rel < 1e-4, rel
+
+
+@pytest.mark.slow
+def test_v6_train_parity_200_steps_across_schedule():
+    """Flagship-class V6 (FastConvSSM path) at training scale: 200 steps
+    across the warmup->cosine boundary under the reference's composite
+    criterion."""
+    import importlib
+
+    from tests.test_torch_parity import _map_v6
+
+    load_ref_model("MyEfficientLFNetV6", ref_args(scale_factor=4))
+    mod = importlib.import_module("model.SR.MyEfficientLFNetV6")
+    crit = mod.get_loss(ref_args(scale_factor=4))
+    rep = {}
+    _run_train_parity(
+        "EfficientLFNetV6", "MyEfficientLFNetV6", _map_v6, n_steps=200,
+        epochs=10, steps_per_epoch=20,
+        loss_rtol=1e-3, param_atol=5e-3,
+        criterion=crit, model_kwargs={"ssm_impl": "conv"}, report=rep,
+    )
+    lrs = rep["lrs"]
+    assert lrs[-1] < 0.2 * max(lrs)
+    rel = abs(rep["jax_param_norm"] - rep["torch_param_norm"]) / rep["torch_param_norm"]
+    assert rel < 2e-4, rel
