@@ -87,6 +87,21 @@ def _mix_kernel(mix: nn.Module, c_in: int, dt) -> jnp.ndarray:
     return mix.variables["params"]["kernel"].reshape(c_in, -1).astype(dt)
 
 
+def _pw_apply(mod: nn.Module, x, c_in: int, dt):
+    """Apply a 1x1 conv submodule as a dot_general (+bias), same params.
+
+    At whole-scene geometries the XLA conv lowering of full-resolution
+    pointwise convs picks tiled layouts neighboring dots/elementwise
+    chains must relayout-copy around (measured ~2 GB copies around the
+    HLFR expansion conv, PERF.md r4); the dot form keeps one layout."""
+    _ = mod(jnp.zeros((1, 1, 1, c_in), dt))
+    p = mod.variables["params"]
+    y = x.astype(dt) @ p["kernel"].reshape(c_in, -1).astype(dt)
+    if "bias" in p:
+        y = y + p["bias"].astype(dt)
+    return y
+
+
 class ECA(nn.Module):
     """Efficient channel attention (V8:816-830)."""
 
@@ -416,11 +431,15 @@ class SpatialAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        dt = self.dtype
-        m = jnp.concatenate([_dw_apply(x, self.feats, dt), _dw_apply(x, self.feats, dt, dilation=3)], -1)
-        gate = lrelu(conv(self.feats, 1, use_bias=False, dtype=dt)(m))
-        gate = nn.sigmoid(conv(self.feats, 1, dtype=dt)(gate))
-        proj = conv(self.feats, 1, use_bias=False, dtype=dt)(m)
+        dt, c = self.dtype, self.feats
+        # concat+1x1s as split matmuls; pointwise convs as dots (_pw_apply)
+        m1 = _dw_apply(x, c, dt)
+        m2 = _dw_apply(x, c, dt, dilation=3)
+        wg = _mix_kernel(conv(c, 1, use_bias=False, dtype=dt), 2 * c, dt)
+        gate = lrelu(m1 @ wg[:c] + m2 @ wg[c:])
+        gate = nn.sigmoid(_pw_apply(conv(c, 1, dtype=dt), gate, c, dt))
+        wp = _mix_kernel(conv(c, 1, use_bias=False, dtype=dt), 2 * c, dt)
+        proj = m1 @ wp[:c] + m2 @ wp[c:]
         scale = self.param("scale", nn.initializers.constant(0.2), (1,))
         return x + scale * proj * gate
 
@@ -438,15 +457,17 @@ class LSFL(nn.Module):
         dt, c = self.dtype, self.feats
         eh = conv(c, (1, 3), dilation=(1, self.ang), padding=(0, self.ang),
                   groups=c, use_bias=False, dtype=dt)(x)
-        eh = conv(c, 1, use_bias=False, dtype=dt)(lrelu(eh))
+        eh = _pw_apply(conv(c, 1, use_bias=False, dtype=dt), lrelu(eh), c, dt)
         ev = conv(c, (3, 1), dilation=(self.ang, 1), padding=(self.ang, 0),
                   groups=c, use_bias=False, dtype=dt)(x)
-        ev = conv(c, 1, use_bias=False, dtype=dt)(lrelu(ev))
+        ev = _pw_apply(conv(c, 1, use_bias=False, dtype=dt), lrelu(ev), c, dt)
 
-        comb = jnp.concatenate([eh, ev], -1)
-        gate = lrelu(conv(c, 1, use_bias=False, dtype=dt)(comb))
+        # concat+1x1s as split matmuls (no padded-concat materialization)
+        wg = _mix_kernel(conv(c, 1, use_bias=False, dtype=dt), 2 * c, dt)
+        gate = lrelu(eh @ wg[:c] + ev @ wg[c:])
         gate = nn.sigmoid(_dw_apply(gate, c, dt))
-        epi = conv(c, 1, use_bias=False, dtype=dt)(comb) * gate
+        wp = _mix_kernel(conv(c, 1, use_bias=False, dtype=dt), 2 * c, dt)
+        epi = (eh @ wp[:c] + ev @ wp[c:]) * gate
 
         se = jnp.mean(epi, axis=(1, 2), keepdims=True)
         se = lrelu(conv(c // 4, 1, use_bias=False, dtype=dt)(se))
@@ -562,12 +583,13 @@ class HLFR(nn.Module):
         dt, c = self.dtype, self.feats
         y = x
         for i in range(3):
-            y = conv(c, 1, use_bias=False, dtype=dt)(_dw_apply(y, c, dt))
+            y = _pw_apply(conv(c, 1, use_bias=False, dtype=dt),
+                          _dw_apply(y, c, dt), c, dt)
             if i < 2:
                 y = lrelu(y)
         edge = _dw_apply(jnp.abs(y), c, dt)
-        edge = lrelu(conv(c // 8, 1, use_bias=False, dtype=dt)(edge))
-        edge = nn.sigmoid(conv(c, 1, use_bias=False, dtype=dt)(edge))
+        edge = lrelu(_pw_apply(conv(c // 8, 1, use_bias=False, dtype=dt), edge, c, dt))
+        edge = nn.sigmoid(_pw_apply(conv(c, 1, use_bias=False, dtype=dt), edge, c // 8, dt))
         y = ECA(reduction=16, dtype=dt)(y * edge + x)
 
         stages = [2] * (self.scale_factor // 2) if self.scale_factor in (2, 4) else [self.scale_factor]
