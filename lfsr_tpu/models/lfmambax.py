@@ -606,20 +606,25 @@ class HLFR(nn.Module):
             exp_conv = conv(c * r * r, 1, use_bias=False, dtype=dt)
             _ = exp_conv(jnp.zeros((1, 1, 1, c), dt))
             wexp = exp_conv.variables["params"]["kernel"].reshape(c, c * r * r)
-            y = jax.lax.dot_general(
-                y, wexp.astype(dt), (((3,), (0,)), ((), ()))
-            )
             if si == len(stages) - 1:
                 # final stage: keep z at LR, fold the out conv through
-                # the shuffle (lrelu commutes with the shuffle)
+                # the shuffle (lrelu commutes with the shuffle), and run
+                # expansion+lrelu+taps as ONE Pallas pass so the expanded
+                # z tensor (2.1 GB at the whole-scene bench geometry)
+                # never touches HBM (ops/pallas_head; XLA-ref fallback
+                # off-TPU / non-square)
+                from lfsr_tpu.ops.pallas_head import hlfr_tail
+
                 _ = out_conv(jnp.zeros((1, 4, 4, c), dt))
                 k3 = out_conv.variables["params"]["kernel"].astype(dt)
                 bias = out_conv.variables["params"]["bias"].astype(dt)
                 kf = _fold_out_conv(k3, r)
-                z = lrelu(y)
-                out = _apply_folded_taps(z, kf, bias)
+                out = hlfr_tail(y.astype(dt), wexp.astype(dt), kf, bias, 0.1)
                 out = pixel_shuffle(out, r)
             else:
+                y = jax.lax.dot_general(
+                    y, wexp.astype(dt), (((3,), (0,)), ((), ()))
+                )
                 y = lrelu(pixel_shuffle(y, r))
         out_scale = self.param("out_scale", nn.initializers.constant(0.5), (1,))
         return out * out_scale

@@ -79,11 +79,15 @@ def lr_views(views):
     )
 
 
-def write_data():
+def write_data(n_train=N_TRAIN):
     tdir = ROOT / "data_for_train" / f"SR_{ANG}x{ANG}_{SCALE}x" / "SynthLF"
+    import shutil
+
+    if tdir.exists():
+        shutil.rmtree(tdir)
     n_patch = 0
     t0 = time.time()
-    for si in range(N_TRAIN):
+    for si in range(n_train):
         views = make_scene(HRS)
         lr = lr_views(views)
         # patchify: HR 128 stride 128 -> 4 patches per scene (LR 32)
@@ -138,7 +142,10 @@ def bicubic_psnr(vals):
 def main():
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 40
     model_name = sys.argv[2] if len(sys.argv) > 2 else "LFMambaX"
-    vals = write_data()
+    # scale knob (VERDICT r3 #2b): n_train=300 -> 1200 patches, enough
+    # that the run no longer overfits by epoch ~20 like the 192-patch set
+    n_train = int(sys.argv[3]) if len(sys.argv) > 3 else N_TRAIN
+    vals = write_data(n_train)
     bp, bs = bicubic_psnr(vals)
     print(f"bicubic baseline: PSNR {bp:.3f}  SSIM {bs:.4f}", flush=True)
 
@@ -150,7 +157,7 @@ def main():
         path_for_train=str(ROOT / "data_for_train"),
         path_for_test=str(ROOT / "data_for_test"),
         path_log=str(ROOT / "log"),
-        batch_size=4,
+        batch_size=4 if n_train <= 64 else 8,
         epochs=epochs,
         eval_every=max(10, epochs // 3),
         use_masked_pretrain=False,
