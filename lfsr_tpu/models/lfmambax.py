@@ -608,11 +608,10 @@ class HLFR(nn.Module):
             wexp = exp_conv.variables["params"]["kernel"].reshape(c, c * r * r)
             if si == len(stages) - 1:
                 # final stage: keep z at LR, fold the out conv through
-                # the shuffle (lrelu commutes with the shuffle), and run
-                # expansion+lrelu+taps as ONE Pallas pass so the expanded
-                # z tensor (2.1 GB at the whole-scene bench geometry)
-                # never touches HBM (ops/pallas_head; XLA-ref fallback
-                # off-TPU / non-square)
+                # the shuffle (lrelu commutes with the shuffle). The
+                # expansion+lrelu+taps chain runs as XLA dots — a fused
+                # Pallas version measured SLOWER both ways it can be
+                # tiled (ops/pallas_head, retired; PERF.md r4)
                 from lfsr_tpu.ops.pallas_head import hlfr_tail
 
                 _ = out_conv(jnp.zeros((1, 4, 4, c), dt))

@@ -90,10 +90,17 @@ def hlfr_tail_ref(y, w1, kf, bias, slope=0.1):
 def _supported(y) -> bool:
     if FORCE_KERNEL_INTERPRET:
         return True
-    if jax.default_backend() != "tpu":
-        return False
-    b, h, w, c = y.shape
-    return h == w and h % 8 == 0 and c % 8 == 0
+    # MEASURED NEGATIVE on v5e — the kernel is retired from the
+    # production path (hlfr_tail always takes the XLA reference chain):
+    # v1 (nine per-tap matmuls) 23.0 ms vs 13.4 XLA at [2,1440,1440,64]
+    # (4-output-lane matmuls waste 31/32 of the MXU width); v2 (one
+    # [Cz,36] taps matmul + lane-sliced shifted adds) 13.6 ms at the 4x
+    # SMALLER [2,720,720,64] point — the k*rr lane-offset slices hit
+    # Mosaic's gather rule (the same constraint pallas_block works
+    # around by zero-padding weights to full C, which has no analogue
+    # here). The XLA chain's only over-floor cost is one z
+    # materialization; PERF.md r4.
+    return False
 
 
 def _pick_rb(S: int) -> int:
