@@ -50,7 +50,8 @@ ZOO = [
 ]
 
 
-def bench_model(model_name: str, minibatch: int | None, iters: int) -> dict:
+def bench_model(model_name: str, minibatch: int | None, iters: int,
+                force_whole: bool | None = None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -62,7 +63,10 @@ def bench_model(model_name: str, minibatch: int | None, iters: int) -> dict:
     ang, scale, h0 = 5, 4, 128
     cfg = Config(model_name=model_name, scale_factor=scale)
     if minibatch is not None:
-        cfg = cfg.replace(minibatch_for_test=minibatch)
+        cfg = cfg.replace(minibatch_for_test=minibatch,
+                          whole_scene_minibatch=minibatch)
+    if force_whole is not None:
+        cfg = cfg.replace(whole_scene_for_test=force_whole)
     model = registry.get_model(cfg)
     whole = whole_scene_default(cfg)  # production eval mode for this model
     rng = np.random.default_rng(0)
@@ -96,12 +100,12 @@ def bench_model(model_name: str, minibatch: int | None, iters: int) -> dict:
     flops_unit = float(ca.get("flops", float("nan"))) / flops_div
 
     if whole:
-        # production path: minibatch_for_test scenes per dispatch
-        # (evaluate_sets whole-mode batching; B=2 measured 13.7% faster
-        # per scene than one-at-a-time, PERF.md round 3)
+        # production path: whole_scene_minibatch scenes per dispatch
+        # (evaluate_sets whole-mode batching; r4 sweep: 4 scenes 3.807
+        # vs 2 scenes 3.717 scenes/s, PERF.md)
         from lfsr_tpu.train.evaluate import _whole_batch_runner
 
-        mb = max(1, cfg.minibatch_for_test)
+        mb = max(1, cfg.whole_scene_minibatch)
         runner = _whole_batch_runner(
             model.apply, ang, ang, scale, cfg.whole_scene_pad
         )
@@ -230,6 +234,9 @@ def main():
     ap.add_argument("--train", action="store_true",
                     help="bench the production train step only")
     ap.add_argument("--train_batch", type=int, default=8)
+    ap.add_argument("--whole", action="store_true",
+                    help="force whole-scene eval regardless of the "
+                         "registry capability (gate measurements)")
     args = ap.parse_args()
 
     if args.train:
@@ -248,9 +255,11 @@ def main():
             print(json.dumps(r), flush=True)
         return
 
-    if args.model_name and args.model_name != "LFMambaX":
-        print(json.dumps(bench_model(args.model_name, args.minibatch,
-                                     args.iters or 6)))
+    if args.model_name and (args.model_name != "LFMambaX" or args.whole):
+        print(json.dumps(bench_model(
+            args.model_name, args.minibatch, args.iters or 6,
+            force_whole=True if args.whole else None,
+        )))
         return
 
     # Default / driver mode: the pinned flagship headline, ONE JSON line.

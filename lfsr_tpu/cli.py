@@ -37,6 +37,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_masked_pretrain", type=int, default=1)
     p.add_argument("--mask_ratio", type=float, default=0.3)
     p.add_argument("--minibatch_for_test", type=int, default=2)
+    p.add_argument("--whole_scene_minibatch", type=int, default=4)
     p.add_argument("--whole_scene_for_test", type=int, default=-1,
                    help="1: evaluate each scene as ONE un-tiled SAI call "
                         "(no 32/16 overlap grid; TPU fits whole scenes); "
@@ -74,6 +75,7 @@ def config_from_args(args) -> Config:
         use_masked_pretrain=bool(args.use_masked_pretrain),
         mask_end_ratio=args.mask_ratio,
         minibatch_for_test=args.minibatch_for_test,
+        whole_scene_minibatch=args.whole_scene_minibatch,
         whole_scene_for_test=(
             None if args.whole_scene_for_test < 0
             else bool(args.whole_scene_for_test)

@@ -82,6 +82,11 @@ class Config:
     # raw borders cost -0.036 dB on the trained-checkpoint gate, with
     # pad=8 whole-scene PSNR is >= tiled (PERF.md round-3 pad sweep).
     whole_scene_pad: int = 8
+    # scenes per whole-scene dispatch (separate from the tiled patch
+    # minibatch: tiled eval prefers 2, scene batching 4 — r4 sweep:
+    # mb4 3.807 vs mb2 3.717 scenes/s, both NTIRE geometries verified
+    # to fit HBM at 4)
+    whole_scene_minibatch: int = 4
     # EPSW (Enhanced Position-Sensitive Windowing, MyEfficientLFNetV4_3.py:
     # 148-216): blend overlapping SR patches with a Gaussian weight centred
     # on each patch instead of the hard center crop. Only meaningful for

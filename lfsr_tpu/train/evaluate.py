@@ -394,7 +394,7 @@ def evaluate_sets(apply_fn, params, scenes_by_set: dict, cfg: Config, log=print,
                         apply_fn, params, batch,
                         ang=cfg.angRes, ang_out=cfg.angRes_out,
                         scale=s_factor, whole_pad=cfg.whole_scene_pad,
-                        minibatch=cfg.minibatch_for_test,
+                        minibatch=cfg.whole_scene_minibatch,
                     )
                 for sc, v in zip(group, views):
                     scored[sc.name] = _score_views(
