@@ -51,7 +51,35 @@ def main(cfg, ckpt_path=None, out_root="submission", make_zip=True, skip_gate=Fa
         log("WARNING: no checkpoint — running random init")
 
     out = Path(out_root)
+    from lfsr_tpu.models.registry import whole_scene_default
+
+    whole = whole_scene_default(cfg)
     for subset, items in scenes.items():
+        if whole:
+            # scene-batched whole-scene dispatches, grouped by geometry
+            # (same batching as evaluate_sets — whole_scene_minibatch
+            # scenes per jit call instead of one; r4: 4 scenes/dispatch
+            # measured 3.81 vs per-scene 3.39 scenes/s on v5e)
+            import jax.numpy as jnp
+
+            from lfsr_tpu.train.evaluate import sr_scenes_whole
+
+            by_geo: dict = {}
+            for sc in items:
+                by_geo.setdefault(sc.lr_y.shape, []).append(sc)
+            for group in by_geo.values():
+                batch = jnp.stack([jnp.asarray(sc.lr_y) for sc in group])
+                views = sr_scenes_whole(
+                    model.apply, state.variables, batch,
+                    ang=cfg.angRes, ang_out=cfg.angRes_out,
+                    scale=cfg.scale_factor, whole_pad=cfg.whole_scene_pad,
+                    minibatch=cfg.whole_scene_minibatch,
+                )
+                for sc, v in zip(group, np.asarray(views)):
+                    rgb = views_to_rgb_uint8(v, sc.sr_cbcr, cfg.angRes)
+                    save_scene_views(out / subset / sc.name, rgb)
+                    log(f"wrote {subset}/{sc.name} ({rgb.shape[3]}x{rgb.shape[2]})")
+            continue
         for sc in items:
             _, _, sr_views = evaluate_scene(model.apply, state.variables, sc, cfg)
             rgb = views_to_rgb_uint8(np.asarray(sr_views), sc.sr_cbcr, cfg.angRes)

@@ -83,3 +83,33 @@ def test_train_infer_validate_pipeline(tmp_path, monkeypatch):
     )
     rep = submission.validate_submission(zip_path)
     assert rep.ok, rep.errors
+
+
+def test_whole_scene_inference_pipeline(tmp_path, monkeypatch):
+    """inference.main's scene-batched whole-scene path (geometry groups,
+    whole_scene_minibatch scenes per dispatch) through BMP tree -> zip ->
+    byte-level validation, incl. two different scene geometries."""
+    import inference as infer_cli
+
+    _write_test_scene(tmp_path, "Real", 624, 432)
+    _write_test_scene(tmp_path, "Synth", 500, 500)
+
+    cfg = Config(
+        model_name="DistgSSR",
+        scale_factor=SCALE,
+        compute_dtype="float32",
+        model_kwargs={"channels": 16, "n_groups": 1, "n_blocks": 1},
+        path_for_train=str(tmp_path / "data_for_train"),
+        path_for_test=str(tmp_path / "data_for_test"),
+        path_log=str(tmp_path / "log"),
+        whole_scene_for_test=True,
+        whole_scene_minibatch=2,
+        mesh_shape=(1,),
+    )
+    monkeypatch.setattr(submission, "EXPECTED_SCENES", {"Real": 1, "Synth": 1})
+    zip_path = infer_cli.main(
+        cfg, out_root=str(tmp_path / "submission_whole"), make_zip=True,
+        skip_gate=True,
+    )
+    rep = submission.validate_submission(zip_path)
+    assert rep.ok, rep.errors
