@@ -1,11 +1,15 @@
 """TPU probe: cross-scan gather/scatter kernels — correctness vs the XLA
 reference and speed at the eval point."""
+import os
+
 import jax, jax.numpy as jnp
 import numpy as np
 from scripts.probes._harness import timed_loop
 from lfsr_tpu.ops import pallas_layout as pll
 
-B, S, C = 8, 160, 64
+B = int(os.environ.get("PROBE_B", "8"))
+S = int(os.environ.get("PROBE_S", "160"))
+C = int(os.environ.get("PROBE_C", "64"))
 key = jax.random.PRNGKey(0)
 ks = jax.random.split(key, 4)
 x = jax.random.normal(ks[0], (B, S, S, C), jnp.bfloat16)
