@@ -487,9 +487,14 @@ class ProgressiveFusion(nn.Module):
     @nn.compact
     def __call__(self, blocks):
         dt, c = self.dtype, self.feats
+        # 3 blocks per stage; n_stages generalizes so shrunken-depth
+        # configs (e.g. the driver's multi-chip dryrun) reuse the module.
+        # The 12-block default yields the original 4-stage layout exactly.
+        ns = len(blocks) // 3
+        assert 3 * ns == len(blocks), len(blocks)
         # concat+1x1 run as split matmuls (see _mix_kernel)
         stages = []
-        for i in range(4):
+        for i in range(ns):
             w = _mix_kernel(
                 conv(c, 1, use_bias=False, dtype=dt, name=f"proj_s{i+1}"), 3 * c, dt
             )
@@ -497,12 +502,12 @@ class ProgressiveFusion(nn.Module):
                 sum(blocks[3 * i + j].astype(dt) @ w[j * c : (j + 1) * c]
                     for j in range(3))
             )
-        wts = self.param("stage_weights", nn.initializers.constant(0.25), (4,))
+        wts = self.param("stage_weights", nn.initializers.constant(0.25), (ns,))
         wts = nn.softmax(wts)
-        weighted = sum(wts[i] * stages[i] for i in range(4))
+        weighted = sum(wts[i] * stages[i] for i in range(ns))
 
-        wc = _mix_kernel(conv(c, 1, use_bias=False, dtype=dt), 4 * c, dt)
-        cross = sum(stages[i].astype(dt) @ wc[i * c : (i + 1) * c] for i in range(4))
+        wc = _mix_kernel(conv(c, 1, use_bias=False, dtype=dt), ns * c, dt)
+        cross = sum(stages[i].astype(dt) @ wc[i * c : (i + 1) * c] for i in range(ns))
         cross = lrelu(cross)
         cross = _dw_apply(cross, c, dt)
         cross = conv(c, 1, use_bias=False, dtype=dt)(cross)
@@ -655,6 +660,17 @@ class LFMambaX(nn.Module):
         scan_impl = self.cfg.mk("scan_impl", "pallas")
         dt = jnp.dtype(self.cfg.compute_dtype)
 
+        # Depth override for cheap-compile harnesses (the driver's
+        # multi-chip dryrun): phases is a tuple of (n_blocks, attn_scale)
+        # pairs; total blocks must be a multiple of 3 (ProgressiveFusion
+        # groups in 3s). The default reproduces the 12-block flagship
+        # param tree exactly.
+        phases = tuple(
+            tuple(p) for p in self.cfg.mk(
+                "phases", ((4, 0.25), (5, 0.35), (3, None))
+            )
+        )
+
         up = bicubic_up(x, s)
 
         h, w = x.shape[1], x.shape[2]
@@ -667,11 +683,15 @@ class LFMambaX(nn.Module):
         shallow = IFE(c, dt)(xin)
 
         # depth-aware residual scales (V8:276-293)
-        res_scales = (
-            [0.15 + 0.025 * i for i in range(4)]
-            + [0.25 + 0.02 * i for i in range(5)]
-            + [0.35 + 0.025 * i for i in range(3)]
-        )
+        nb = sum(n for n, _ in phases)
+        if nb == 12:
+            res_scales = (
+                [0.15 + 0.025 * i for i in range(4)]
+                + [0.25 + 0.02 * i for i in range(5)]
+                + [0.35 + 0.025 * i for i in range(3)]
+            )
+        else:
+            res_scales = list(np.linspace(0.15, 0.425, nb))
         # rematerialize each block: trades recompute for HBM during training
         # only — at eval the remat barrier blocks XLA fusion (~24% slower)
         BlockCls = (
@@ -682,7 +702,7 @@ class LFMambaX(nn.Module):
         feat = shallow
         blocks = []
         bi = 0
-        for phase, (n, attn_scale) in enumerate([(4, 0.25), (5, 0.35), (3, None)]):
+        for phase, (n, attn_scale) in enumerate(phases):
             for _ in range(n):
                 feat = BlockCls(
                     c, d_state, d_conv, expand, res_scales[bi], dt,
