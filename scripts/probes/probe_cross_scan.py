@@ -19,6 +19,14 @@ w = 0.2 * jax.random.normal(ks[3], (C, C), jnp.bfloat16)
 scale = jnp.asarray([0.15], jnp.float32)
 seq = jax.random.normal(ks[3], (B, S * S, C), jnp.bfloat16)
 
+# Off-envelope shapes silently dispatch to the XLA reference inside
+# cross_scan_gather/scatter — say which path the probe is measuring, so a
+# reference-vs-reference run (diff 0.0, identical timings) is visible.
+print(
+    f"kernel path active: {pll._gather_supported(x)} "
+    f"(S={S} C={C}; needs square map, S%8==0, C/4 lane-tileable)"
+)
+
 # correctness (compiled Mosaic vs XLA ref)
 g_k = np.asarray(jax.jit(pll.cross_scan_gather)(x, gamma, beta)).astype(np.float32)
 g_r = np.asarray(jax.jit(pll.cross_scan_gather_ref)(x, gamma, beta)).astype(np.float32)

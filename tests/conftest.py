@@ -19,6 +19,9 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# (--xla_backend_optimization_level=0 was tried here in r5: 507 -> 489 s,
+# within noise — the suite is execution-, not compile-, dominated. Left
+# at default; the multichip dryrun, which IS compile-dominated, uses it.)
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402

@@ -78,6 +78,7 @@ def test_check_efficiency_reports_official_and_honest():
     ] < 0.2
 
 
+@pytest.mark.slow
 def test_flops_breakdown_sums_to_total():
     """Per-module FLOPs breakdown (reference --detailed parity): the
     name-stack attributed per-module MACs must sum EXACTLY to the total,

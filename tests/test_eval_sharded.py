@@ -1,6 +1,7 @@
 """Multi-chip tiled evaluation: sr_scene_sharded on the virtual 8-device
 CPU mesh must match the single-device sr_scene exactly."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -28,6 +29,7 @@ def _model_and_params():
     return cfg, model, params
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device():
     cfg, model, params = _model_and_params()
     h0 = 40
@@ -40,6 +42,7 @@ def test_sharded_matches_single_device():
     np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_whole_scene_batch_sharded_matches_per_scene():
     """sr_scenes_whole_sharded (scene batch data-parallel over the mesh)
     must equal per-scene whole-scene sr_scene; evaluate_sets in

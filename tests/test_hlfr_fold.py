@@ -1,5 +1,6 @@
 """HLFR out-conv fold correctness: folded-LR formulation == direct HR conv."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -27,6 +28,7 @@ def test_fold_out_conv_matches_direct():
         assert err < 1e-5, (r, err)
 
 
+@pytest.mark.slow
 def test_hlfr_forward_runs_and_grad():
     mod = HLFR(16, 4, jnp.float32)
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 16), jnp.float32)

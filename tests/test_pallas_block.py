@@ -68,6 +68,7 @@ def test_kernel_matches_ref_interpret(shape, feats):
     np.testing.assert_allclose(np.asarray(loc_k), np.asarray(loc_r), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_block_wiring_matches_fallback_and_param_tree_stable():
     """LFVSSMBlock's fused front (interpret mode) must equal its XLA
     fallback AND leave the param-tree paths/shapes identical, so
@@ -91,6 +92,7 @@ def test_block_wiring_matches_fallback_and_param_tree_stable():
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_gradients_flow_through_reference():
     feats = 32
     x = jax.random.normal(jax.random.PRNGKey(4), (1, 16, 16, feats), jnp.float32)

@@ -49,6 +49,7 @@ def test_oracle_matches_flax_attention():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gradients_match_reference_math():
     q, k, v = _qkv(B=2, L=16, D=128, seed=2)
     mask = _band_mask(16, width=7)
@@ -85,6 +86,7 @@ def test_supported_gate():
     assert not M.supported(1024, 128, 8)  # stacked K too large
 
 
+@pytest.mark.slow
 def test_epit_forward_unchanged_by_kernel_path():
     """EPIT's transformer output is identical whether the fused kernel
     or the flax fallback runs (same init, same input)."""

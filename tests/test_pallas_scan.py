@@ -36,6 +36,7 @@ def test_fused_multi_chunk_carry():
     np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_scan_proj_matches_composed_oracle():
     from lfsr_tpu.ops.pallas_scan import selective_scan_proj, scan_proj_ref
 
@@ -177,6 +178,7 @@ def test_mamba_inner_fused_matches_ref():
         assert float(jnp.max(jnp.abs(gr - gf))) < 1e-4
 
 
+@pytest.mark.slow
 def test_pallas_flat_lane_path_matches_reference():
     # explicit opt-in variant (measured slower than the padded default)
     from lfsr_tpu.ops.pallas_scan import _scan_pallas_raw
@@ -227,6 +229,7 @@ def test_scan_proj_pallas_bwd_multiblock_all_grads():
         )
 
 
+@pytest.mark.slow
 def test_scan_proj_pallas_bwd_no_dskip():
     from lfsr_tpu.ops import pallas_scan as ps
 

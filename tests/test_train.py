@@ -157,6 +157,7 @@ def test_evaluate_scene_re_task():
     assert 0 < psnr < 20
 
 
+@pytest.mark.slow
 def test_device_resident_epoch_matches_host_fed():
     """The device-resident data fast path (full arrays staged once,
     in-jit batch gather) must produce EXACTLY the params and metrics of
