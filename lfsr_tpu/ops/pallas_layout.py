@@ -158,6 +158,63 @@ def cross_scan_gather_ref(x, gamma, beta):
     return y.astype(x.dtype)
 
 
+def cross_scan_gather_v2(x, gamma, beta):
+    """XLA formulation #2 of the gather (r5 whole-scene attack).
+
+    Identities: for a row-major raster, reversing the flattened sequence
+    equals flipping BOTH spatial dims before the flatten; and the
+    column-major pair is the row-major read of the spatially transposed
+    map. So both reversed groups become one double-flip each and groups
+    2/3 share a transpose — all full-tensor relayouts XLA lowers as
+    single wide copies, instead of the reference's narrow per-group
+    1-D reverses. Math identical to :func:`cross_scan_gather_ref`."""
+    b, h, w, c = x.shape
+    g = c // 4
+    L = h * w
+    s0 = x[..., :g].reshape(b, L, g)
+    s1 = x[:, ::-1, ::-1, g : 2 * g].reshape(b, L, g)
+    s2 = x[..., 2 * g : 3 * g].transpose(0, 2, 1, 3).reshape(b, L, g)
+    s3 = (
+        x[:, ::-1, ::-1, 3 * g :].transpose(0, 2, 1, 3).reshape(b, L, c - 3 * g)
+    )
+    seq = jnp.concatenate([s0, s1, s2, s3], axis=-1)
+    f32 = jnp.float32
+    sf = seq.astype(f32)
+    mean = jnp.mean(sf, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(sf * sf, axis=-1, keepdims=True) - mean * mean, 0.0)
+    y = (sf - mean) * jax.lax.rsqrt(var + _EPS)
+    y = y * gamma.astype(f32) + beta.astype(f32)
+    return y.astype(x.dtype)
+
+
+def cross_scan_scatter_v2(seq, x, w, scale):
+    """XLA formulation #2 of the scatter: the mixing conv splits over the
+    4 channel groups (y = sum_k unperm_k(o_k) @ W_k) and flips/transposes
+    commute with the per-pixel matmul, so the two scan-space halves are
+    mixed FIRST (thin matmuls) and un-permuted as one double-flip + one
+    full-width transpose. Math identical to
+    :func:`cross_scan_scatter_ref` up to f32 add order."""
+    b, h, wdt, c = x.shape
+    g = c // 4
+    f32 = jnp.float32
+    wc = w.astype(seq.dtype)
+    o0 = seq[..., :g]
+    o1 = seq[..., g : 2 * g]
+    o2 = seq[..., 2 * g : 3 * g]
+    o3 = seq[..., 3 * g :]
+    # row-major half: a = o0 @ W0 + rev_L(o1) @ W1, computed in scan space
+    # with the reversal as a double-flip after reshape-to-map
+    a = (o0 @ wc[:g]).reshape(b, h, wdt, c) + (
+        (o1 @ wc[g : 2 * g]).reshape(b, h, wdt, c)[:, ::-1, ::-1]
+    )
+    # column-major half: same, then one full-width spatial transpose
+    bb = (o2 @ wc[2 * g : 3 * g]).reshape(b, wdt, h, c) + (
+        (o3 @ wc[3 * g :]).reshape(b, wdt, h, c)[:, ::-1, ::-1]
+    )
+    y = a.astype(f32) + bb.transpose(0, 2, 1, 3).astype(f32)
+    return (x.astype(f32) + scale * y).astype(x.dtype)
+
+
 def _gather_supported(x) -> bool:
     """Shape envelope for the fused cross-scan kernels.
 

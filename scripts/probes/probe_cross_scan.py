@@ -44,3 +44,13 @@ timed_loop(lambda s_: pll.cross_scan_scatter(s_.reshape(B, S * S, C), x, w, scal
            .reshape(B, S * S, C), seq, reps=30, name="scatter kernel")
 timed_loop(lambda s_: pll.cross_scan_scatter_ref(s_.reshape(B, S * S, C), x, w, scale)
            .reshape(B, S * S, C), seq, reps=30, name="scatter XLA ref")
+
+# r5 XLA reformulations (double-flip + shared transpose / scan-space mix)
+g2 = np.asarray(jax.jit(pll.cross_scan_gather_v2)(x, gamma, beta)).astype(np.float32)
+print("gather v2 max|diff|:", np.abs(g2 - g_r).max())
+s2 = np.asarray(jax.jit(pll.cross_scan_scatter_v2)(seq, x, w, scale)).astype(np.float32)
+print("scatter v2 max|diff|:", np.abs(s2 - s_r).max())
+timed_loop(lambda x_: pll.cross_scan_gather_v2(x_, gamma, beta).reshape(B, S, S, C),
+           x, reps=30, name="gather v2 XLA")
+timed_loop(lambda s_: pll.cross_scan_scatter_v2(s_.reshape(B, S * S, C), x, w, scale)
+           .reshape(B, S * S, C), seq, reps=30, name="scatter v2 XLA")

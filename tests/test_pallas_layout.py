@@ -108,3 +108,30 @@ def test_bf16_dtype_preserved():
     xb = x.astype(jnp.bfloat16)
     out = pll.cross_scan_gather(xb, gamma, beta)
     assert out.dtype == jnp.bfloat16
+
+
+def test_gather_v2_matches_reference():
+    """r5 XLA reformulation (double-flip + shared transpose) is exact."""
+    key = jax.random.PRNGKey(5)
+    for S, dt in ((16, jnp.float32), (24, jnp.bfloat16)):
+        x = jax.random.normal(key, (2, S, S, 64), dt)
+        gamma = 1.0 + 0.1 * jax.random.normal(key, (64,), jnp.float32)
+        beta = 0.1 * jax.random.normal(key, (64,), jnp.float32)
+        a = np.asarray(pll.cross_scan_gather_ref(x, gamma, beta), np.float32)
+        b = np.asarray(pll.cross_scan_gather_v2(x, gamma, beta), np.float32)
+        np.testing.assert_allclose(a, b, atol=0, rtol=0)
+
+
+def test_scatter_v2_matches_reference():
+    key = jax.random.PRNGKey(6)
+    for S, dt in ((16, jnp.float32), (24, jnp.bfloat16)):
+        ks = jax.random.split(key, 3)
+        x = jax.random.normal(ks[0], (2, S, S, 64), dt)
+        seq = jax.random.normal(ks[1], (2, S * S, 64), dt)
+        w = 0.2 * jax.random.normal(ks[2], (64, 64), dt)
+        scale = jnp.asarray([0.15], jnp.float32)
+        a = np.asarray(pll.cross_scan_scatter_ref(seq, x, w, scale), np.float32)
+        b = np.asarray(pll.cross_scan_scatter_v2(seq, x, w, scale), np.float32)
+        # identical math; add order differs only in the final f32 sums
+        tol = 2e-6 if dt == jnp.float32 else 2e-2
+        np.testing.assert_allclose(a, b, atol=tol, rtol=0)
