@@ -40,23 +40,39 @@ def fft_magnitude_l1(sr, hr):
     return jnp.mean(jnp.abs(fs - fh))
 
 
+def _box_blur(a, window: int):
+    """Uniform KxK mean filter, SAME zero padding (== the depthwise conv
+    torch's avg_pool2d formulation uses), as two separable shift-add
+    passes. The direct form is a 1-output-lane conv on [B, H, W, 1]
+    mosaics — 1/128 MXU lane utilization in forward AND VJP (the r3
+    train-step trace's loss-backward bucket); shifted adds are pure
+    elementwise ops XLA fuses, and their VJP is shifted adds again."""
+    p = window // 2
+
+    def pass_along(x, axis):
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (p, p)
+        xp = jnp.pad(x, pad)
+        n = x.shape[axis]
+        idx = [slice(None)] * x.ndim
+        acc = None
+        for k in range(window):
+            idx[axis] = slice(k, k + n)
+            t = xp[tuple(idx)]
+            acc = t if acc is None else acc + t
+        return acc
+
+    return pass_along(pass_along(a, 1), 2) / (window * window)
+
+
 def ssim_loss(sr, hr, window: int = 7):
     """1 - SSIM with a uniform window (avg-pool implementation mirroring
     V8:889-909, including the variance clamp)."""
     x, y = _f32(sr), _f32(hr)
     c1, c2 = 0.01**2, 0.03**2
-    k = jnp.ones((window, window, 1, 1), jnp.float32) / (window * window)
 
     def blur(a):
-        # NHWC depthwise mean filter with SAME (torch avg_pool2d w/ padding)
-        return jax.lax.conv_general_dilated(
-            a,
-            jnp.tile(k, (1, 1, 1, a.shape[-1])),
-            (1, 1),
-            "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=a.shape[-1],
-        )
+        return _box_blur(a, window)
 
     mx, my = blur(x), blur(y)
     vx = jnp.clip(blur(x * x) - mx * mx, 0)
@@ -71,19 +87,34 @@ def ssim_loss(sr, hr, window: int = 7):
 _SOBEL_X = jnp.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32)
 
 
+def _shift(x, axis, d):
+    """x shifted by d along axis with zero fill (conv-with-zero-pad tap)."""
+    n = x.shape[axis]
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (max(d, 0), max(-d, 0))
+    idx = [slice(None)] * x.ndim
+    idx[axis] = slice(max(-d, 0), max(-d, 0) + n)
+    return jnp.pad(x, pad)[tuple(idx)]
+
+
+def _sobel_x(a):
+    """Sobel-x = [1,2,1]^T (x) [-1,0,1], as separable shift-adds (the
+    3x3 form is a 1-output-lane conv on the SAI mosaic — see _box_blur)."""
+    a = _f32(a)
+    s = _shift(a, 1, 1) + 2.0 * a + _shift(a, 1, -1)  # smooth along H
+    return _shift(s, 2, -1) - _shift(s, 2, 1)          # diff along W
+
+
+def _sobel_y(a):
+    a = _f32(a)
+    s = _shift(a, 2, 1) + 2.0 * a + _shift(a, 2, -1)
+    return _shift(s, 1, -1) - _shift(s, 1, 1)
+
+
 def gradient_l1(sr, hr):
     """L1 over Sobel-x and Sobel-y responses (V8:912-918)."""
-    kx = _SOBEL_X.reshape(3, 3, 1, 1)
-    ky = _SOBEL_X.T.reshape(3, 3, 1, 1)
-
-    def edge(a, k):
-        return jax.lax.conv_general_dilated(
-            _f32(a), k, (1, 1), [(1, 1), (1, 1)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-
-    return jnp.mean(jnp.abs(edge(sr, kx) - edge(hr, kx))) + jnp.mean(
-        jnp.abs(edge(sr, ky) - edge(hr, ky))
+    return jnp.mean(jnp.abs(_sobel_x(sr) - _sobel_x(hr))) + jnp.mean(
+        jnp.abs(_sobel_y(sr) - _sobel_y(hr))
     )
 
 
