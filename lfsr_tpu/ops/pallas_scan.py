@@ -164,7 +164,7 @@ def _scan_chunk_kernel_flat(u_ref, dt_ref, a_ref, b_ref, c_ref, y_ref, h_carry,
 
 
 def _scan_proj_kernel(u_ref, dbc_ref, wdt_ref, bdt_ref, a_ref, y_ref, h_carry,
-                      *, T, inner, R):
+                      *, T, inner, R, combine_dtype=jnp.float32):
     """Scan with the dt projection and B/C extraction folded in.
 
     dbc is the raw x_proj output [blk, R+2N]: lanes [0,R) are the
@@ -172,6 +172,10 @@ def _scan_proj_kernel(u_ref, dbc_ref, wdt_ref, bdt_ref, a_ref, y_ref, h_carry,
     narrow [B, L, N] lane-extraction fusions + their layout copies and
     the [B, L, D] dt_raw round-trip that XLA otherwise materializes
     between x_proj and the kernel (~0.3 ms/block at the eval point).
+
+    ``combine_dtype=bfloat16`` runs the [T, N, D] discretization +
+    Hillis-Steele combine in bf16 (chunk-boundary carry stays f32) —
+    an opt-in eval-speed experiment; see set_scan_combine_dtype.
     """
     li = pl.program_id(1)
 
@@ -196,11 +200,34 @@ def _scan_proj_kernel(u_ref, dbc_ref, wdt_ref, bdt_ref, a_ref, y_ref, h_carry,
 
         dA = jnp.exp(dt[:, None, :] * A[None])        # [T, N, D]
         dBx = Bc[:, :, None] * (dt * u)[:, None, :]   # [T, N, D]
-        y, h_new = _chunk_scan(dA, dBx, Cc, h0, T=T, N=N, D=D)
+        if combine_dtype != jnp.float32:
+            y, h_new = _chunk_scan(
+                dA.astype(combine_dtype), dBx.astype(combine_dtype),
+                Cc.astype(combine_dtype), h0, T=T, N=N, D=D,
+                dtype=combine_dtype,
+            )
+        else:
+            y, h_new = _chunk_scan(dA, dBx, Cc, h0, T=T, N=N, D=D)
         y_ref[0, sl, :] = y.astype(y_ref.dtype)
         return h_new
 
     h_carry[:] = jax.lax.fori_loop(0, inner, body, h_carry[:])
+
+
+# Eval-only combine-precision switch for the dbc-input scan kernel (the
+# production eval path): 'float32' (default) or 'bfloat16'. Read at trace
+# time; switching clears jit caches (same contract as set_scan_bwd_impl).
+# Training is unaffected — the train forward (_scan_proj_raw_states) and
+# the adjoint kernel always combine in f32.
+_SCAN_COMBINE = {"dtype": jnp.float32}
+
+
+def set_scan_combine_dtype(dtype):
+    dtype = jnp.dtype(dtype).type if not isinstance(dtype, type) else dtype
+    dtype = jnp.bfloat16 if jnp.dtype(dtype) == jnp.bfloat16 else jnp.float32
+    if _SCAN_COMBINE["dtype"] != dtype:
+        _SCAN_COMBINE["dtype"] = dtype
+        jax.clear_caches()
 
 
 def _scan_proj_raw(u, dbc, Wdt, bdt, A, chunk: int = 256, interpret: bool = False):
@@ -220,7 +247,8 @@ def _scan_proj_raw(u, dbc, Wdt, bdt, A, chunk: int = 256, interpret: bool = Fals
         return (0, 0)
 
     return pl.pallas_call(
-        functools.partial(_scan_proj_kernel, T=chunk, inner=inner, R=R),
+        functools.partial(_scan_proj_kernel, T=chunk, inner=inner, R=R,
+                          combine_dtype=_SCAN_COMBINE["dtype"]),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, blk, D), idx_bt, memory_space=pltpu.VMEM),
@@ -551,11 +579,12 @@ def _scan_pallas_raw(u, delta, A, Bc, Cc, chunk: int = 256, interpret: bool = Fa
 # ---------------------------------------------------------------------------
 
 
-def _chunk_scan(dA, dBx, Cc, h0, *, T, N, D):
+def _chunk_scan(dA, dBx, Cc, h0, *, T, N, D, dtype=jnp.float32):
     """Work-efficient two-level inclusive scan over one chunk.
 
-    dA/dBx: [T, N, D]; Cc: [T, N]; h0: [N, D] incoming state.
-    Returns (y [T, D], new_h0 [N, D]).
+    dA/dBx: [T, N, D]; Cc: [T, N]; h0: [N, D] incoming state (f32).
+    Returns (y [T, D] f32, new_h0 [N, D] f32). ``dtype`` selects the
+    combine precision (bf16 opt-in; carry and outputs stay f32).
     """
     S = 8 if T % 8 == 0 and T >= 64 else 1
     M = T // S
@@ -570,25 +599,31 @@ def _chunk_scan(dA, dBx, Cc, h0, *, T, N, D):
     shift = 1
     while shift < M:
         pa = jnp.concatenate(
-            [jnp.ones((shift, N, D), jnp.float32), ta[: M - shift]], axis=0
+            [jnp.ones((shift, N, D), dtype), ta[: M - shift]], axis=0
         )
         pb = jnp.concatenate(
-            [jnp.zeros((shift, N, D), jnp.float32), tb[: M - shift]], axis=0
+            [jnp.zeros((shift, N, D), dtype), tb[: M - shift]], axis=0
         )
         tb = tb + ta * pb
         ta = ta * pa
         shift *= 2
+    h0c = h0.astype(dtype)
     pstate = jnp.concatenate(
-        [jnp.broadcast_to(h0[None], (1, N, D)), tb[: M - 1] + ta[: M - 1] * h0[None]],
+        [jnp.broadcast_to(h0c[None], (1, N, D)),
+         tb[: M - 1] + ta[: M - 1] * h0c[None]],
         axis=0,
     )
     C4 = Cc.reshape(M, S, N)
     ys = []
     for s in range(S):
         h_s = sb[s] + sa[s] * pstate
-        ys.append(jnp.sum(h_s * C4[:, s][:, :, None], axis=1))
+        ys.append(jnp.sum(
+            h_s.astype(jnp.float32) * C4[:, s][:, :, None].astype(jnp.float32),
+            axis=1,
+        ))
     y = jnp.stack(ys, axis=1).reshape(T, D)
-    return y, tb[M - 1] + ta[M - 1] * h0
+    new_h = (tb[M - 1] + ta[M - 1] * h0c).astype(jnp.float32)
+    return y, new_h
 
 
 def _mamba_inner_kernel(

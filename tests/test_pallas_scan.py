@@ -255,3 +255,32 @@ def test_scan_proj_pallas_bwd_no_dskip():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
         )
+
+
+def test_scan_combine_bf16_close_to_f32():
+    """Opt-in bf16 combine (eval lever): same scan within bf16 tolerance,
+    and the switch restores f32 exactly."""
+    import numpy as np
+    from lfsr_tpu.ops import pallas_scan as ps
+
+    rng = np.random.default_rng(0)
+    B, L, D, N, R = 2, 512, 16, 4, 2
+    u = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    dbc = jnp.asarray(0.3 * rng.standard_normal((B, L, R + 2 * N)), jnp.float32)
+    Wdt = jnp.asarray(rng.standard_normal((R, D)), jnp.float32)
+    bdt = jnp.asarray(rng.standard_normal((D,)), jnp.float32)
+    A = -jnp.exp(jnp.asarray(rng.standard_normal((D, N)), jnp.float32))
+    Ds = jnp.asarray(rng.standard_normal((D,)), jnp.float32)
+
+    y32 = np.asarray(ps.selective_scan_proj(u, dbc, Wdt, bdt, A, Ds, 128))
+    try:
+        ps.set_scan_combine_dtype(jnp.bfloat16)
+        y16 = np.asarray(ps.selective_scan_proj(u, dbc, Wdt, bdt, A, Ds, 128))
+    finally:
+        ps.set_scan_combine_dtype(jnp.float32)
+    yb = np.asarray(ps.selective_scan_proj(u, dbc, Wdt, bdt, A, Ds, 128))
+
+    assert np.array_equal(y32, yb), "switch must restore f32 exactly"
+    scale = np.abs(y32).max()
+    rel = np.abs(y16 - y32).max() / scale
+    assert rel < 0.03, rel  # bf16 mantissa-level agreement
