@@ -693,10 +693,14 @@ class LFMambaX(nn.Module):
         else:
             res_scales = list(np.linspace(0.15, 0.425, nb))
         # rematerialize each block: trades recompute for HBM during training
-        # only — at eval the remat barrier blocks XLA fusion (~24% slower)
+        # only — at eval the remat barrier blocks XLA fusion (~24% slower).
+        # Default OFF since r5: batch-8 SAI-160 training fits HBM without
+        # it and the recompute cost is real (A/B on v5e: 432 vs 473
+        # ms/step — PERF.md r5). Set model_kwargs={'remat': True} for
+        # larger batches/patches that need the memory back.
         BlockCls = (
             nn.remat(LFVSSMBlock, static_argnums=(2,))
-            if self.cfg.mk("remat", True) and train
+            if self.cfg.mk("remat", False) and train
             else LFVSSMBlock
         )
         feat = shallow
