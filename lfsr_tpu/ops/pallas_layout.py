@@ -215,6 +215,26 @@ def cross_scan_scatter_v2(seq, x, w, scale):
     return (x.astype(f32) + scale * y).astype(x.dtype)
 
 
+# Cross-scan implementation switch (r5 whole-scene attack): 'kernel' =
+# the fused Pallas passes (default), 'xla' = the reference XLA forms,
+# 'xla_v2' = the double-flip/shared-transpose forms, 'mixed' = xla_v2
+# gather + kernel scatter (the standalone-probe winner per half).
+# End-to-end A/B on the whole-scene production runner (scripts/probes/
+# probe_cross_scan_e2e.py, H0=128 mb=4): kernel 3.808 scenes/s, xla
+# 3.490, xla_v2 2.726 — the standalone micro-wins (gather v2 2.80 ms vs
+# kernel 4.82 at S=720) do NOT survive fusion context, so the production
+# default stays 'kernel'. Read at trace time; switching clears jit
+# caches (same contract as pallas_scan.set_scan_bwd_impl).
+_CROSS_SCAN = {"impl": "kernel"}
+
+
+def set_cross_scan_impl(impl: str):
+    assert impl in ("kernel", "xla", "xla_v2", "mixed"), impl
+    if _CROSS_SCAN["impl"] != impl:
+        _CROSS_SCAN["impl"] = impl
+        jax.clear_caches()
+
+
 def _gather_supported(x) -> bool:
     """Shape envelope for the fused cross-scan kernels.
 
@@ -246,6 +266,10 @@ def cross_scan_gather(x, gamma, beta):
     """
     if not _gather_supported(x):
         return cross_scan_gather_ref(x, gamma, beta)
+    if _CROSS_SCAN["impl"] == "xla":
+        return cross_scan_gather_ref(x, gamma, beta)
+    if _CROSS_SCAN["impl"] in ("xla_v2", "mixed"):
+        return cross_scan_gather_v2(x, gamma, beta)
     b, S, _, C = x.shape
     wt = _pick_wt(S)
     nt = S // wt
@@ -369,6 +393,10 @@ def cross_scan_scatter(seq, x, w, scale):
     """
     if not _gather_supported(x):
         return cross_scan_scatter_ref(seq, x, w, scale)
+    if _CROSS_SCAN["impl"] == "xla":
+        return cross_scan_scatter_ref(seq, x, w, scale)
+    if _CROSS_SCAN["impl"] == "xla_v2":
+        return cross_scan_scatter_v2(seq, x, w, scale)
     b, S, _, C = x.shape
     wt = _pick_wt(S)
     nt = S // wt
