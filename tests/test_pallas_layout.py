@@ -135,3 +135,28 @@ def test_scatter_v2_matches_reference():
         # identical math; add order differs only in the final f32 sums
         tol = 2e-6 if dt == jnp.float32 else 2e-2
         np.testing.assert_allclose(a, b, atol=tol, rtol=0)
+
+
+@pytest.mark.parametrize("impl", ["xla", "xla_v2", "mixed", "kernel"])
+def test_impl_switch_routes_and_matches_reference(impl):
+    """set_cross_scan_impl must route the public entry points to the
+    selected implementation and every impl must agree with the XLA
+    reference forms (same tolerances as the direct tests)."""
+    x, gamma, beta = _mk(S=16, C=8)
+    seq = jnp.asarray(RNG.normal(size=(2, 16 * 16, 8)), jnp.float32)
+    w = jnp.asarray(RNG.normal(size=(8, 8)) * 0.3, jnp.float32)
+    scale = jnp.asarray([0.15], jnp.float32)
+    try:
+        pll.set_cross_scan_impl(impl)
+        g = np.asarray(pll.cross_scan_gather(x, gamma, beta))
+        s = np.asarray(pll.cross_scan_scatter(seq, x, w, scale))
+    finally:
+        pll.set_cross_scan_impl("kernel")
+    np.testing.assert_allclose(
+        g, np.asarray(pll.cross_scan_gather_ref(x, gamma, beta)),
+        rtol=2e-5, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        s, np.asarray(pll.cross_scan_scatter_ref(seq, x, w, scale)),
+        rtol=2e-5, atol=2e-5,
+    )
