@@ -111,17 +111,31 @@ class LFATO(nn.Module):
 
         fusion = _PerRefFusion(c, s, dt)
 
-        def per_ref(module, ref_feat):
-            return module(feat, ref_feat)
+        # scan the shared-weight fusion over the N reference views in
+        # chunks: each scan step folds `ref_chunk` reference views into
+        # the batch axis so one dispatch carries k x the work (the r5 zoo
+        # MFU fix — 25 tiny sequential steps starved the MXU). Math and
+        # params are identical to the per-ref loop (LFSSR_ATO.py:73-99).
+        k = self.cfg.mk("ref_chunk", 5)
+        if n % k:
+            k = 1
 
-        # scan the shared-weight fusion over the N reference views
+        def per_chunk(module, rf):
+            # rf: [B, k, h, w, C] -> fold into batch
+            feat_b = jnp.broadcast_to(
+                feat[:, None], (b, k, n, h, w, c)
+            ).reshape(b * k, n, h, w, c)
+            out = module(feat_b, rf.reshape(b * k, h, w, c))
+            return out.reshape(b, k, h * s, w * s)
+
         outs = nn.scan(
-            lambda mdl, carry, rf: (carry, per_ref(mdl, rf)),
+            lambda mdl, carry, rf: (carry, per_chunk(mdl, rf)),
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=1,
             out_axes=1,
-        )(fusion, None, feat)[1]  # [B, N, h*s, w*s]
+        )(fusion, None, feat.reshape(b, n // k, k, h, w, c))[1]
+        outs = outs.reshape(b, n, h * s, w * s)
 
         out = outs.astype(jnp.float32) + up
         return views_to_sai(out.reshape(b, a, a, h * s, w * s), a)[..., None]

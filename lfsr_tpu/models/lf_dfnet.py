@@ -32,27 +32,31 @@ from lfsr_tpu.ops.layout import sai_to_views, views_to_sai
 from lfsr_tpu.ops.resize import interpolate
 
 
-def _bilinear_sample(img, yy, xx):
-    """img [B,H,W,C]; yy/xx [B,H,W] float coords -> [B,H,W,C].
+def _bilinear_sample_taps(img, yy, xx):
+    """img [B,H,W,C]; yy/xx [B,H,W,K] float coords -> [B,H,W,K,C].
 
-    DCNv1 zero-padding semantics: corner pixels outside the map contribute
-    zero (NOT border-replicate), so samples drifting off the edge fade out
-    exactly like the reference CUDA deform_conv."""
-    b, h, w, c = img.shape
+    All K kernel taps are gathered in ONE take_along_axis per bilinear
+    corner (4 large gathers instead of 4*K small ones — the r5 zoo MFU
+    fix: at K=9 the tap-by-tap form spent its time in gather dispatch,
+    not flops). DCNv1 zero-padding semantics: corner pixels outside the
+    map contribute zero (NOT border-replicate), so samples drifting off
+    the edge fade out exactly like the reference CUDA deform_conv."""
+    b, h, w, k = yy.shape
+    c = img.shape[-1]
     y0 = jnp.floor(yy)
     x0 = jnp.floor(xx)
     wy = yy - y0
     wx = xx - x0
+    flat = img.reshape(b, h * w, c)
 
     def gather(yi, xi):
         valid = (yi >= 0) & (yi <= h - 1) & (xi >= 0) & (xi <= w - 1)
         yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
         xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-        flat = img.reshape(b, h * w, c)
-        idx = yc * w + xc  # [B,H,W]
+        idx = (yc * w + xc).reshape(b, h * w * k)  # [B, HWK]
         vals = jnp.take_along_axis(
-            flat, idx.reshape(b, h * w, 1), axis=1
-        ).reshape(b, h, w, c)
+            flat, idx[..., None], axis=1
+        ).reshape(b, h, w, k, c)
         return vals * valid[..., None].astype(img.dtype)
 
     v00 = gather(y0, x0)
@@ -84,21 +88,19 @@ class DeformConv3x3(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (9, c, self.feats)
         )
         gy, gx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
-        gy = gy[None].astype(jnp.float32)
-        gx = gx[None].astype(jnp.float32)
-        out = jnp.zeros((b, h, w, self.feats), jnp.float32)
-        k = 0
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                oy = offsets[..., 2 * k].astype(jnp.float32)
-                ox = offsets[..., 2 * k + 1].astype(jnp.float32)
-                sampled = _bilinear_sample(
-                    x.astype(jnp.float32), gy + dy + oy, gx + dx + ox
-                )
-                out = out + jnp.einsum(
-                    "bhwc,cf->bhwf", sampled, kern[k].astype(jnp.float32)
-                )
-                k += 1
+        gy = gy[None, ..., None].astype(jnp.float32)  # [1,H,W,1]
+        gx = gx[None, ..., None].astype(jnp.float32)
+        taps = jnp.asarray(
+            [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)], jnp.float32
+        )  # [9, 2] ordered like the offset channels
+        off = offsets.reshape(b, h, w, 9, 2).astype(jnp.float32)
+        yy = gy + taps[:, 0] + off[..., 0]  # [B,H,W,9]
+        xx = gx + taps[:, 1] + off[..., 1]
+        sampled = _bilinear_sample_taps(x.astype(jnp.float32), yy, xx)
+        # one MXU contraction over (tap, channel) instead of 9 thin ones
+        out = jnp.einsum(
+            "bhwkc,kcf->bhwf", sampled, kern.astype(jnp.float32)
+        )
         return out.astype(x.dtype)
 
 

@@ -24,7 +24,7 @@ import flax.linen as nn
 from lfsr_tpu.config import Config
 from lfsr_tpu.models.common import conv, lrelu02, pixel_shuffle
 from lfsr_tpu.models.registry import register_model
-from lfsr_tpu.models.epit import _band_mask
+from lfsr_tpu.ops.local_attention import local_window_mha
 from lfsr_tpu.ops.layout import sai_to_views, views_to_sai
 from lfsr_tpu.ops.resize import interpolate
 
@@ -53,14 +53,20 @@ def ang_position(n: int, dim: int) -> np.ndarray:
 
 class _MHA(nn.Module):
     """Torch-MHA-parity attention: q,k from the normed (PE-added) tokens,
-    v from the raw tokens; all projections bias-free."""
+    v from the raw tokens; all projections bias-free.
+
+    ``local=(h, w, k_r, k_c)`` routes the attention through the banded
+    local-window form (ops/local_attention.py) — numerically equivalent
+    to the dense path under ``_band_mask(h, w, k_r, k_c)`` but without
+    the [B, heads, L, L] score tensor (the r5 zoo MFU fix for SpaTrans:
+    1024x1024 scores for a 25-neighbor band)."""
 
     dim: int
     heads: int
     dtype: jnp.dtype
 
     @nn.compact
-    def __call__(self, tok, pe, mask=None):
+    def __call__(self, tok, pe, mask=None, local=None):
         dt = self.dim
         tn = nn.LayerNorm(dtype=self.dtype)(tok + pe)
         q = nn.Dense(dt, use_bias=False, dtype=self.dtype)(tn)
@@ -68,10 +74,18 @@ class _MHA(nn.Module):
         v = nn.Dense(dt, use_bias=False, dtype=self.dtype)(tok)
         b, L, _ = q.shape
         hd = dt // self.heads
-        split = lambda a: a.reshape(b, L, self.heads, hd)
-        bias = None if mask is None else mask[None, None, :, :]
-        o = nn.dot_product_attention(split(q), split(k), split(v), bias=bias)
-        o = nn.Dense(dt, use_bias=False, dtype=self.dtype)(o.reshape(b, L, dt))
+        if local is not None:
+            lh, lw, k_r, k_c = local
+            o = local_window_mha(
+                q, k, v, heads=self.heads, h=lh, w=lw, k_r=k_r, k_c=k_c
+            ).astype(tok.dtype)
+        else:
+            split = lambda a: a.reshape(b, L, self.heads, hd)
+            bias = None if mask is None else mask[None, None, :, :]
+            o = nn.dot_product_attention(
+                split(q), split(k), split(v), bias=bias
+            ).reshape(b, L, dt)
+        o = nn.Dense(dt, use_bias=False, dtype=self.dtype)(o)
         tok = tok + o
         f = nn.LayerNorm(dtype=self.dtype)(tok)
         f = nn.Dense(2 * dt, use_bias=False, dtype=self.dtype)(f)
@@ -119,8 +133,7 @@ class _SpaTrans(nn.Module):
         tok = emb(_unfold3(x.reshape(b * n, h, w, c)).reshape(b * n, h * w, 9 * c))
         pe2d = jnp.asarray(spa_position(h, w, c))  # [h, w, C]
         pe = emb(_unfold3(jnp.broadcast_to(pe2d[None], (1, h, w, c))).reshape(1, h * w, 9 * c))
-        mask = jnp.asarray(_band_mask(h, w, 5, 5))
-        tok = _MHA(d, 8, self.dtype)(tok, pe, mask)
+        tok = _MHA(d, 8, self.dtype)(tok, pe, local=(h, w, 5, 5))
         y = nn.Dense(self.channels, use_bias=False, dtype=self.dtype)(tok)
         return y.reshape(b, n, h, w, self.channels)
 
