@@ -201,10 +201,12 @@ def _scan_proj_kernel(u_ref, dbc_ref, wdt_ref, bdt_ref, a_ref, y_ref, h_carry,
         dA = jnp.exp(dt[:, None, :] * A[None])        # [T, N, D]
         dBx = Bc[:, :, None] * (dt * u)[:, None, :]   # [T, N, D]
         if combine_dtype != jnp.float32:
+            # Cc stays f32: it only feeds the (always-f32) output sum, and
+            # a bf16 [M, N] -> [M, N, 1] minor-dim reshape is unsupported
+            # by Mosaic (hit at the whole-scene shape).
             y, h_new = _chunk_scan(
                 dA.astype(combine_dtype), dBx.astype(combine_dtype),
-                Cc.astype(combine_dtype), h0, T=T, N=N, D=D,
-                dtype=combine_dtype,
+                Cc, h0, T=T, N=N, D=D, dtype=combine_dtype,
             )
         else:
             y, h_new = _chunk_scan(dA, dBx, Cc, h0, T=T, N=N, D=D)
@@ -613,12 +615,12 @@ def _chunk_scan(dA, dBx, Cc, h0, *, T, N, D, dtype=jnp.float32):
          tb[: M - 1] + ta[: M - 1] * h0c[None]],
         axis=0,
     )
-    C4 = Cc.reshape(M, S, N)
+    C4 = Cc.astype(jnp.float32).reshape(M, S, N)
     ys = []
     for s in range(S):
         h_s = sb[s] + sa[s] * pstate
         ys.append(jnp.sum(
-            h_s.astype(jnp.float32) * C4[:, s][:, :, None].astype(jnp.float32),
+            h_s.astype(jnp.float32) * C4[:, s][:, :, None],
             axis=1,
         ))
     y = jnp.stack(ys, axis=1).reshape(T, D)
