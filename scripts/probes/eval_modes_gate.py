@@ -45,6 +45,8 @@ modes = {
     "tiled-crop (reference)": base.replace(whole_scene_for_test=False),
     "tiled-EPSW": base.replace(whole_scene_for_test=False, epsw_for_test=True),
     "whole-scene pad=0": base.replace(whole_scene_for_test=True, whole_scene_pad=0),
+    "whole-scene pad=4": base.replace(whole_scene_for_test=True, whole_scene_pad=4),
+    "whole-scene pad=8": base.replace(whole_scene_for_test=True, whole_scene_pad=8),
     "whole-scene (production)": base.replace(whole_scene_for_test=True),
 }
 for name, cfg in modes.items():
